@@ -1,0 +1,210 @@
+"""Root-annotation + slot-candidate generation.
+
+Re-creates the reference's candidate oracle
+(``explorer/utils/ExplorationUtils.getCandidates``,
+``explorer/utils/ExplorationUtils.java:382-566``) as a *data product*: the
+callback that the explorers invoke per state becomes two DataFrames built
+once per corpus from ``mentions`` x broadcast ontology tables, then reused
+by every beam expansion:
+
+  roots(doc_key, root_id, root_class_id, anchor_individual_id,
+        onset, sent_idx, next_root_onset)
+  candidates(doc_key, slot_name, slot_kind, class_id, individual_id,
+             dt_value, obj_id, text, onset, offset, sent_idx, aux_values)
+
+Semantics preserved:
+* evidence pruning — a candidate exists ONLY where a text mention exists
+  (inner joins; reference :487-489, :520-522 early pruning / retainAll);
+* datatype candidates: one per DISTINCT semantic value per class
+  (ontology mode, :476-505) — we keep the earliest-onset occurrence so
+  locality features still have a position;
+* individual candidates: one per grounded mention (:535-566);
+* class candidates: subclass-closure of the slot range (:375-380),
+  excluding the abstract parent;
+* auxiliary classes (isAuxiliary, :62-110): instances are proposed by
+  pairing their datatype-slot mentions within one sentence — the
+  recursive SlotFillerExplorer descent collapsed one level (our
+  ontologies bound auxiliary depth at 1, like the reference's examples).
+
+Root proposal mirrors TemplateCardinalityExplorer (:69-120): one root per
+distinct evidence individual of the root class; for root classes without
+individuals, one root per distinct individual of a designated anchor slot
+(the reference reaches the same set through EntityRecognitionExplorer
+evidence filtering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+AUX_SEP = "::"
+
+
+def _descendants(ontology, class_id: str) -> list[str]:
+    return ontology.subclasses_of(class_id)
+
+
+def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
+    """One root annotation per distinct grounding individual per document,
+    anchored at its earliest mention; ``next_root_onset`` (the onset of the
+    next root mention in discourse order) implements the discourse
+    progression of SlotFillerExplorer.java:203-218 as a window column."""
+    root_cls = ontology.root_class_id
+    has_individuals = (ontology.individuals.class_id == root_cls).any()
+    if has_individuals:
+        anchor_classes = _descendants(ontology, root_cls)
+        root_id_col = F.col("individual_id")
+    else:
+        anchor_slot = ontology.slot_order[0]
+        srow = ontology.slots[ontology.slots.slot_name == anchor_slot].iloc[0]
+        anchor_classes = _descendants(ontology, srow.range_class_id)
+        root_id_col = F.concat_ws(
+            AUX_SEP, F.lit(root_cls.lower()), F.col("doc_key"), F.col("individual_id")
+        )
+
+    m = mentions.filter(
+        (F.col("kind") == "individual") & F.col("class_id").isin(anchor_classes)
+    )
+    first = (
+        m.groupBy("doc_key", "individual_id")
+        .agg(F.min("onset").alias("onset"))
+        .join(m.select("doc_key", "individual_id", "onset", "offset", "sent_idx"),
+              ["doc_key", "individual_id", "onset"])
+        .dropDuplicates(["doc_key", "individual_id"])
+    )
+    roots = first.select(
+        "doc_key",
+        root_id_col.alias("root_id"),
+        F.lit(root_cls).alias("root_class_id"),
+        F.col("individual_id").alias("anchor_individual_id"),
+        "onset", "offset", "sent_idx",
+    )
+    w = W.partitionBy("doc_key").orderBy("onset")
+    return roots.withColumn("next_root_onset", F.lead("onset").over(w))
+
+
+def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
+    """Per-document slot-filler candidates for every slot of the root class."""
+    root_cls = ontology.root_class_id
+    slots = ontology.slots[ontology.slots.owner_class_id == root_cls]
+    classes = ontology.classes.set_index("class_id")
+    parts: list[DataFrame] = []
+    empty_aux = F.create_map().cast("map<string,string>")
+
+    for s in slots.itertuples():
+        rng = s.range_class_id
+        desc = _descendants(ontology, rng)
+        base = mentions.filter(F.col("doc_key").isNotNull())
+        if bool(classes.loc[rng].is_datatype):
+            # one candidate per distinct interpreted value, earliest onset
+            m = base.filter(F.col("class_id").isin(desc) & F.col("dt_value").isNotNull())
+            w = W.partitionBy("doc_key", "class_id", "dt_value").orderBy("onset", "offset")
+            m = m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+            parts.append(
+                m.select(
+                    "doc_key",
+                    F.lit(s.slot_name).alias("slot_name"),
+                    F.lit("dt").alias("slot_kind"),
+                    "class_id",
+                    F.lit(None).cast("string").alias("individual_id"),
+                    "dt_value",
+                    F.col("dt_value").alias("obj_id"),
+                    "text", "onset", "offset", "sent_idx",
+                    empty_aux.alias("aux_values"),
+                )
+            )
+        elif bool(classes.loc[rng].is_auxiliary):
+            parts.append(_aux_candidates(mentions, ontology, s))
+        elif (ontology.individuals.class_id.isin(desc)).any():
+            m = base.filter((F.col("kind") == "individual") & F.col("class_id").isin(desc))
+            m = m.dropDuplicates(["doc_key", "individual_id", "onset"])
+            parts.append(
+                m.select(
+                    "doc_key",
+                    F.lit(s.slot_name).alias("slot_name"),
+                    F.lit("ind").alias("slot_kind"),
+                    "class_id",
+                    "individual_id",
+                    F.lit(None).cast("string").alias("dt_value"),
+                    F.col("individual_id").alias("obj_id"),
+                    "text", "onset", "offset", "sent_idx",
+                    empty_aux.alias("aux_values"),
+                )
+            )
+        else:
+            proper = [d for d in desc if d != rng]
+            m = base.filter((F.col("kind") == "class") & F.col("class_id").isin(proper))
+            m = m.dropDuplicates(["doc_key", "class_id", "onset"])
+            parts.append(
+                m.select(
+                    "doc_key",
+                    F.lit(s.slot_name).alias("slot_name"),
+                    F.lit("cls").alias("slot_kind"),
+                    "class_id",
+                    F.lit(None).cast("string").alias("individual_id"),
+                    F.lit(None).cast("string").alias("dt_value"),
+                    F.col("class_id").alias("obj_id"),
+                    "text", "onset", "offset", "sent_idx",
+                    empty_aux.alias("aux_values"),
+                )
+            )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def aux_skolem_cols(aux_class_id: str, child_cols: list) -> F.Column:
+    """Deterministic blank-node id for an auxiliary instance, derived purely
+    from its (sorted-by-slot) child values — gold and prediction agree with
+    no coordination. E.g. honour::champions trophy::2007."""
+    return F.concat_ws(AUX_SEP, F.lit(aux_class_id.lower()), *child_cols)
+
+
+def _aux_candidates(mentions: DataFrame, ontology, slot_row) -> DataFrame:
+    """Auxiliary-class candidates: same-sentence pairing of the aux class's
+    datatype-slot mentions (SlotFillerExplorer's recursive descent collapsed
+    to a per-sentence join; auxiliary classes carry no text evidence of
+    their own — reference ExplorationUtils.java:62-110)."""
+    aux_cls = slot_row.range_class_id
+    child_slots = ontology.slots[ontology.slots.owner_class_id == aux_cls].sort_values("slot_name")
+    joined = None
+    child_names: list[str] = []
+    for cs in child_slots.itertuples():
+        desc = _descendants(ontology, cs.range_class_id)
+        m = (
+            mentions.filter(F.col("class_id").isin(desc) & F.col("dt_value").isNotNull())
+            .select(
+                "doc_key", "sent_idx",
+                F.col("dt_value").alias(f"v_{cs.slot_name}"),
+                F.col("onset").alias(f"on_{cs.slot_name}"),
+                F.col("offset").alias(f"off_{cs.slot_name}"),
+                F.col("text").alias(f"t_{cs.slot_name}"),
+            )
+            .dropDuplicates(["doc_key", "sent_idx", f"v_{cs.slot_name}"])
+        )
+        joined = m if joined is None else joined.join(m, ["doc_key", "sent_idx"])
+        child_names.append(cs.slot_name)
+
+    first = child_names[0]
+    onset_col = F.least(*[F.col(f"on_{c}") for c in child_names])
+    offset_col = F.greatest(*[F.col(f"off_{c}") for c in child_names])
+    skolem = aux_skolem_cols(aux_cls, [F.col(f"v_{c}") for c in child_names])
+    aux_map = F.create_map(
+        *[x for c in child_names for x in (F.lit(c), F.col(f"v_{c}"))]
+    )
+    return joined.select(
+        "doc_key",
+        F.lit(slot_row.slot_name).alias("slot_name"),
+        F.lit("aux").alias("slot_kind"),
+        F.lit(aux_cls).alias("class_id"),
+        F.lit(None).cast("string").alias("individual_id"),
+        F.lit(None).cast("string").alias("dt_value"),
+        skolem.alias("obj_id"),
+        F.col(f"t_{first}").alias("text"),
+        onset_col.alias("onset"),
+        offset_col.alias("offset"),
+        "sent_idx",
+        aux_map.alias("aux_values"),
+    ).dropDuplicates(["doc_key", "obj_id", "sent_idx"])
