@@ -32,15 +32,23 @@ TOKEN_TYPE = T.ArrayType(
 
 
 def sentence_bounds(content: str) -> list[tuple[int, int]]:
-    """[(start, end)) sentence spans; breaks at ./!/?/newline."""
+    """[(start, end)) sentence spans; breaks at ./!/?/newline. Spans that
+    contain no word characters (e.g. the '\\n' right after a '.') are merged
+    into their successor instead of counting as sentences — sentence
+    distance is a locality feature, so '.\\n' must be ONE boundary."""
     bounds, start = [], 0
     for m in _SENT_BREAK.finditer(content):
         end = m.end()
-        if end > start:
+        if end > start and any(c.isalnum() for c in content[start:end]):
             bounds.append((start, end))
+        elif bounds and end > start:
+            bounds[-1] = (bounds[-1][0], end)
         start = end
     if start < len(content):
-        bounds.append((start, len(content)))
+        if any(c.isalnum() for c in content[start:]):
+            bounds.append((start, len(content)))
+        elif bounds:
+            bounds[-1] = (bounds[-1][0], len(content))
     return bounds
 
 

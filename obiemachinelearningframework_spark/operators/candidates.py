@@ -65,6 +65,19 @@ def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
     m = mentions.filter(
         (F.col("kind") == "individual") & F.col("class_id").isin(anchor_classes)
     )
+    # longest-match-wins: the auto-generated fuzzy patterns make name tails
+    # optional ("Jonas(.?Varga)?"), so a shared first name matches several
+    # individuals. A root mention strictly contained in a longer root
+    # mention is a partial match of the wrong entity — suppress it (the
+    # overlap filter of EntityRecognitionExplorer.java:169-187).
+    a, b = m.alias("a"), m.alias("b")
+    contained = (
+        (F.col("a.doc_key") == F.col("b.doc_key"))
+        & (F.col("b.onset") <= F.col("a.onset"))
+        & (F.col("a.offset") <= F.col("b.offset"))
+        & ((F.col("b.offset") - F.col("b.onset")) > (F.col("a.offset") - F.col("a.onset")))
+    )
+    m = a.join(b, contained, "left_anti")
     first = (
         m.groupBy("doc_key", "individual_id")
         .agg(F.min("onset").alias("onset"))

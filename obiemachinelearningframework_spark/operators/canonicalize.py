@@ -1,0 +1,90 @@
+"""Cross-document entity canonicalization: connected components.
+
+The reference resolves entities only within a document (dictionary +
+retrieval caches); the north rule extends this to cross-document entity
+resolution: entities whose evidence ties them together (shared canonical
+dictionary entry, near-duplicate labels) are merged into one canonical id
+across the whole corpus before the triples are finalized.
+
+Implementation: iterative min-id label propagation over the entity graph —
+the standard Spark connected-components loop (alternating join + min-agg
+until fixpoint), with ``localCheckpoint`` every few rounds to truncate the
+lineage that iterative plans otherwise accumulate. Converges in
+O(log(diameter)) rounds; entity graphs from co-mention edges have tiny
+diameters, so this is a handful of shuffles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """edges(src, dst) undirected -> components(id, component) where
+    component = min id reachable. Deterministic."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    comp = nodes.withColumn("component", F.col("id")).localCheckpoint()
+
+    for i in range(max_iter):
+        # each node adopts min(own component, neighbors' components)
+        neighbor_min = (
+            sym.join(comp.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, "id", "left")
+            .select("id", F.least("component", F.coalesce("n_comp", "component")).alias("component"))
+        )
+        # propagate through component representatives (pointer jumping):
+        # comp(id) -> comp(comp(id)) halves path lengths each round
+        jump = new_comp.alias("a").join(
+            new_comp.select(F.col("id").alias("component"), F.col("component").alias("jumped")).alias("b"),
+            "component",
+            "left",
+        ).select("id", F.coalesce("jumped", "component").alias("component"))
+        jump = jump.localCheckpoint()
+        changed = (
+            jump.alias("n").join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        comp = jump
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalization_edges(triples: DataFrame, label_similarity_edges: DataFrame | None = None) -> DataFrame:
+    """Entity graph edges: identity self-edges for every entity appearing as
+    subj or non-literal obj, plus optional externally-computed similarity
+    edges (e.g. the fuzzy-linking join output)."""
+    ents = (
+        triples.select(F.col("subj").alias("id"))
+        .union(triples.filter(F.col("obj").contains("::") | F.col("obj").startswith("team_")
+                              | F.col("obj").startswith("player_") | F.col("obj").startswith("compound_"))
+               .select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    self_edges = ents.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    if label_similarity_edges is not None:
+        return self_edges.unionByName(label_similarity_edges.select("src", "dst"))
+    return self_edges
+
+
+def canonicalize_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite subj/obj to their component representative (min id)."""
+    subj_map = components.select(F.col("id").alias("subj"), F.col("component").alias("subj_canon"))
+    obj_map = components.select(F.col("id").alias("obj"), F.col("component").alias("obj_canon"))
+    return (
+        triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            "doc_key",
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+        )
+        .dropDuplicates(["doc_key", "subj", "pred", "obj"])
+    )

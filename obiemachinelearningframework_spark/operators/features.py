@@ -54,6 +54,13 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     pairs = r.join(candidates, "doc_key").join(
         instances.select("doc_key", "content"), "doc_key"
     )
+    # discourse association: is this root the nearest one (by char distance)
+    # to the candidate mention? The batched form of the reference's
+    # discourse-progression pruning (SlotFillerExplorer.java:203-218).
+    w_near = W.partitionBy("doc_key", "slot_name", "onset", "obj_id").orderBy(
+        F.abs(F.col("onset") - F.col("root_onset")).asc(), F.col("root_id").asc()
+    )
+    pairs = pairs.withColumn("is_nearest_root", (F.row_number().over(w_near) == 1).cast("int"))
     return pairs.withColumn(
         "pair_id",
         F.sha2(
@@ -90,6 +97,9 @@ def compute_features(pairs: DataFrame) -> DataFrame:
     parts.append(_emit(pairs.filter(before_next), F.concat(F.lit("before_next["), slot, F.lit("]"))))
     parts.append(_emit(pairs.filter(after_root & before_next), F.concat(F.lit("in_block["), slot, F.lit("]"))))
     parts.append(
+        _emit(pairs.filter(F.col("is_nearest_root") == 1), F.concat(F.lit("nearest_root["), slot, F.lit("]")))
+    )
+    parts.append(
         _emit(pairs, F.concat(F.lit("filler["), slot, F.lit("]="), F.coalesce("class_id", F.lit("null"))))
     )
 
@@ -119,7 +129,7 @@ def compute_features(pairs: DataFrame) -> DataFrame:
     rtoks = F.filter(F.split(F.lower(right_raw), r"\W+"), lambda t: F.length(t) >= 1)
     ctx = pairs.select("pair_id", "slot_name", ltoks.alias("lt"), rtoks.alias("rt"))
     for name, arr, idx in (("ctx_l1", "lt", 1), ("ctx_l2", "lt", 2), ("ctx_r1", "rt", 1), ("ctx_r2", "rt", 2)):
-        tok = F.element_at(F.col(arr), idx)
+        tok = F.try_element_at(F.col(arr), F.lit(idx))
         parts.append(
             _emit(
                 ctx.filter(tok.isNotNull() & (tok != "")),

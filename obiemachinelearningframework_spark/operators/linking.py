@@ -1,0 +1,133 @@
+"""Fuzzy entity linking (candidate retrieval for unseen surface forms).
+
+Re-creates the reference's retrieval layer semantics:
+* ``ner/candidateRetrieval/lucene/LuceneRetrieval.java:39-40,98-144`` —
+  per-token fuzzy query against the dictionary, top-5 candidates,
+  score >= 0.7, results cached;
+* ``ner/candidateRetrieval/jaccard/JaccardRetrieval.java:26-60`` —
+  3-gram profile Jaccard similarity;
+* ``metrics/LevenShteinSimilarities.java:51-68`` — levenshtein similarity
+  ``(max - d) / max``.
+
+Spark-first shape: a *similarity join*. Unmatched document tokens and
+dictionary surface forms are both exploded into character 3-grams; an
+equi-join on the gram buckets the pairs (this IS the LSH trick — only
+pairs sharing a gram are ever scored, never a cartesian product); Jaccard
+is computed from gram-match counts with a groupBy; a Levenshtein
+similarity filter + window top-k finishes the job. The reference's query
+cache is unnecessary: distinct tokens are deduplicated *before* the join,
+which is the batch equivalent.
+
+At 100 TB scale the dictionary side is small and broadcast; the token side
+is deduplicated per partition before the shuffle (partial aggregation), so
+the join input is bounded by vocabulary size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+TOP_K = 5                 # LuceneRetrieval MAX_NUMBER_OF_CANDIDATES_PER_TOKEN
+MIN_JACCARD = 0.4
+MIN_LEV_SIM = 0.7         # LuceneRetrieval MIN_SCORE_THRESHOLD analog
+
+
+def _gram_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct character 3-grams per row, all JVM-side expression work."""
+    lowered = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        lowered.alias("_text"),
+        F.array_distinct(
+            F.expr(f"filter(transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)), "
+                   f"i -> substring(lower({text_col}), i, 3)), g -> length(g) = 3)")
+        ).alias("_grams"),
+    ).withColumn("_n", F.size("_grams"))
+
+
+def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
+                      top_k: int = TOP_K) -> DataFrame:
+    """unknown_tokens(doc_key, text, onset, offset, sent_idx) ->
+    linked mentions (same schema as detect_mentions output).
+
+    Joins distinct unknown surface forms against the dictionary by shared
+    3-grams, scores Jaccard + Levenshtein similarity, keeps top-k above
+    threshold, and maps the links back onto every occurrence.
+    """
+    ind_class = spark.createDataFrame(
+        ontology.individuals.rename(columns={"individual_id": "type_id"})[["type_id", "class_id"]]
+    )
+    dict_df = spark.createDataFrame(ontology.dictionary[ontology.dictionary.kind == "individual"])
+
+    distinct_tokens = unknown_tokens.select(F.lower("text").alias("token")).distinct()
+    t = _gram_df(distinct_tokens, "token", "token")
+    d = _gram_df(dict_df.select("type_id", "surface_form"), "type_id", "surface_form").withColumnRenamed(
+        "_id", "_dict_id"
+    ).withColumnRenamed("_text", "_surface").withColumnRenamed("_grams", "_dgrams").withColumnRenamed("_n", "_dn")
+
+    te = t.select("_id", "_text", "_n", F.explode("_grams").alias("g"))
+    de = d.select("_dict_id", "_surface", "_dn", F.explode("_dgrams").alias("g"))
+    common = (
+        te.join(F.broadcast(de), "g")
+        .groupBy("_id", "_text", "_n", "_dict_id", "_surface", "_dn")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("_n") + F.col("_dn") - F.col("common"))
+    lev_sim = 1.0 - F.levenshtein("_text", "_surface") / F.greatest(F.length("_text"), F.length("_surface"))
+    scored = common.withColumn("jaccard", jac).withColumn("lev_sim", lev_sim).filter(
+        (F.col("jaccard") >= MIN_JACCARD) & (F.col("lev_sim") >= MIN_LEV_SIM)
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("lev_sim"), F.desc("jaccard"), F.asc("_dict_id"))
+    top = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= top_k)
+    # keep only the best link per token for mention emission (top-1 of top-5)
+    best = top.filter("_rn = 1").select(
+        F.col("_id").alias("token"), F.col("_dict_id").alias("type_id"), "lev_sim"
+    )
+
+    linked = (
+        unknown_tokens.withColumn("token", F.lower("text"))
+        .join(best, "token")
+        .join(F.broadcast(ind_class), "type_id")
+        .select(
+            "doc_key",
+            F.lit("individual").alias("kind"),
+            "type_id",
+            "class_id",
+            F.col("type_id").alias("individual_id"),
+            F.lit(False).alias("is_datatype"),
+            "text",
+            "onset",
+            "offset",
+            "sent_idx",
+            F.lit(None).cast("string").alias("dt_value"),
+        )
+    )
+    return linked
+
+
+def unknown_capitalized_tokens(instances: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Capitalized alphabetic tokens (len >= 4) not covered by any detected
+    mention — the span-enumeration + gate of EntityRecognitionExplorer
+    (``explorer/EntityRecognitionExplorer.java:150-187``) reduced to the
+    unigram case our fixtures need; the n-gram generalization is the same
+    join over exploded spans."""
+    from ..functions.tokenize import with_tokens
+
+    toks = (
+        with_tokens(instances)
+        .select("doc_key", F.explode("tokens").alias("t"))
+        .select("doc_key", F.col("t.text").alias("text"), F.col("t.on").alias("onset"),
+                F.col("t.off").alias("offset"), F.col("t.sent_idx").alias("sent_idx"))
+        .filter((F.length("text") >= 4) & F.col("text").rlike(r"^[A-Z][a-z]+$"))
+    )
+    covered = mentions.select("doc_key", F.col("onset").alias("m_on"), F.col("offset").alias("m_off"))
+    return (
+        toks.alias("t")
+        .join(
+            covered.alias("m"),
+            (F.col("t.doc_key") == F.col("m.doc_key"))
+            & (F.col("t.onset") >= F.col("m.m_on"))
+            & (F.col("t.offset") <= F.col("m.m_off")),
+            "left_anti",
+        )
+    )

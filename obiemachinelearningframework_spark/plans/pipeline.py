@@ -1,0 +1,92 @@
+"""End-to-end OBIE pipeline plan: train + predict.
+
+Mirrors the reference's run lifecycle (``run/AbstractOBIERunner``):
+corpus construction -> NER -> (train: sampling + learner) -> prediction ->
+evaluation — with every per-document loop batched into DataFrame stages
+over all documents at once (legal because the reference's sampling is
+per-document independent; SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.candidates import generate_candidates, propose_roots
+from ..operators.filler import greedy_fill, scored_pairs
+from ..operators.mentions import detect_mentions, prepare_instances
+from ..operators.features import build_pairs, compute_features
+from ..operators.trainer import (
+    label_pairs,
+    model_weights_df,
+    thresholds_from_weights,
+    train_weights,
+)
+from ..operators.triples import materialize_triples
+
+
+class OBIEPipeline:
+    def __init__(self, spark, ontology, min_ner_length: int = 2):
+        self.spark = spark
+        self.ontology = ontology
+        self.min_ner_length = min_ner_length
+        self.weights: pd.DataFrame | None = None
+        self.thresholds: dict = {}
+
+    # ---------------------------------------------------------------- stages
+
+    def prepare(self, source_df: DataFrame) -> DataFrame:
+        return prepare_instances(source_df)
+
+    def mentions(self, instances: DataFrame) -> DataFrame:
+        return detect_mentions(instances, self.ontology, self.min_ner_length)
+
+    def roots_and_candidates(self, mentions: DataFrame):
+        return propose_roots(mentions, self.ontology), generate_candidates(mentions, self.ontology)
+
+    # ----------------------------------------------------------------- train
+
+    def fit(self, instances: DataFrame, gold_triples: DataFrame,
+            splits: DataFrame | None = None, train_split: str = "train") -> "OBIEPipeline":
+        inst = instances
+        if splits is not None:
+            train_keys = splits.filter(F.col("split") == train_split).select("doc_key")
+            inst = instances.join(train_keys, "doc_key", "left_semi")
+        mentions = self.mentions(inst).cache()
+        roots, candidates = self.roots_and_candidates(mentions)
+        pairs = build_pairs(roots, candidates, inst).cache()
+        feats = compute_features(pairs)
+        labels = label_pairs(pairs, gold_triples)
+        self.weights = train_weights(feats, labels)
+        self.thresholds = thresholds_from_weights(self.weights)
+        mentions.unpersist()
+        pairs.unpersist()
+        return self
+
+    # --------------------------------------------------------------- predict
+
+    def predict(self, instances: DataFrame) -> dict:
+        assert self.weights is not None, "fit() or load_weights() first"
+        w_df = model_weights_df(self.spark, self.weights)
+        mentions = self.mentions(instances)
+        roots, candidates = self.roots_and_candidates(mentions)
+        pairs = scored_pairs(roots, candidates, instances, w_df)
+        assignments = greedy_fill(pairs, self.ontology, self.thresholds)
+        triples = materialize_triples(assignments)
+        return {
+            "mentions": mentions,
+            "roots": roots,
+            "candidates": candidates,
+            "assignments": assignments,
+            "triples": triples,
+        }
+
+    # ----------------------------------------------------------- model (de)ser
+
+    def save_weights(self, path: str) -> None:
+        self.weights.to_json(path, orient="records", lines=True)
+
+    def load_weights(self, path: str) -> "OBIEPipeline":
+        self.weights = pd.read_json(path, orient="records", lines=True)
+        self.thresholds = thresholds_from_weights(self.weights)
+        return self

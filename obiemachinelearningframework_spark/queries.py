@@ -1,0 +1,759 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle pairs.
+
+Each entry re-expresses one operator family from SURVEY.md §2 over the
+driver's testdata tables (documents / embeddings / lineitem / orders /
+events), so the correctness harness can verify it against an independent
+ANSI-SQL engine. The OBIE fixture pipeline itself is verified by pytest
+(tests/test_trained_e2e.py — the P/R >= 0.95 gate); these queries verify
+the *relational building blocks* the pipeline is made of, plus the
+training-data-pipeline operators (dedup, similarity search, text stats).
+
+Conventions:
+* every computed column is aliased identically in Spark and SQL;
+* doubles are rounded (6 dp) on both sides before comparison;
+* dictionaries/constants are inlined so both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+# ---------------------------------------------------------------------------
+# shared inline dictionary: surface form -> ontology type (mirrors the OBIE
+# dictionary tables; documents.text is a bag of these words)
+DICT = [
+    ("scan", "Operator"), ("join", "Operator"), ("filter", "Operator"),
+    ("sort", "Operator"), ("merge", "Operator"), ("agg", "Operator"),
+    ("window", "Operator"), ("hash", "Operator"),
+    ("table", "Dataset"), ("row", "Dataset"), ("column", "Dataset"),
+    ("batch", "Dataset"), ("stream", "Dataset"), ("vector", "Dataset"),
+    ("customer", "Entity"), ("part", "Entity"), ("line", "Entity"),
+    ("spark", "System"), ("query", "System"),
+]
+STOPWORDS = ["the", "a"]
+
+_DICT_VALUES_SQL = ", ".join(f"('{s}', '{t}')" for s, t in DICT)
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DICT, ["surface", "type_id"])
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token) — documents.text is single-space separated."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+
+
+_TOKENS_SQL = """
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS token
+  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents)
+  WHERE string_split(text, ' ')[i] <> ''
+"""
+
+
+# ------------------------------------------------------------------ queries
+
+def q_doc_sha256(spark, sf_dir):
+    """Per-row content invariant (BASELINE input_hint: sha256 equality)."""
+    return _docs(spark, sf_dir).select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+SQL_DOC_SHA256 = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+
+def q_token_stats(spark, sf_dir):
+    """Tokenizer stage product: token/distinct counts per document."""
+    t = _tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+  WITH toks AS ({_TOKENS_SQL})
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+  FROM toks GROUP BY doc_id
+"""
+
+
+def q_mentions_dict(spark, sf_dir):
+    """Dictionary NER: broadcast-join tokens x surface forms
+    (AbstractDictionary gating; mention = token occurrence with position)."""
+    t = _tokens(spark, sf_dir)
+    return t.join(F.broadcast(_dict_df(spark)), t.token == F.col("surface")).select(
+        "doc_id", "pos", "token", "type_id"
+    )
+
+
+SQL_MENTIONS_DICT = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL})
+  SELECT doc_id, pos, token, type_id FROM toks JOIN dict ON token = surface
+"""
+
+
+def q_high_frequency(spark, sf_dir):
+    """HighFrequencyUtils / HighFrequencyBaseline: most frequent type per
+    document (groupBy count + window row_number = 1)."""
+    m = q_mentions_dict(spark, sf_dir)
+    c = m.groupBy("doc_id", "type_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("type_id"))
+    return c.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("doc_id", "type_id", "n")
+
+
+SQL_HIGH_FREQUENCY = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       m AS (SELECT doc_id, type_id FROM toks JOIN dict ON token = surface),
+       c AS (SELECT doc_id, type_id, count(*) AS n FROM m GROUP BY doc_id, type_id),
+       r AS (SELECT doc_id, type_id, n,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, type_id ASC) AS rn
+             FROM c)
+  SELECT doc_id, type_id, n FROM r WHERE rn = 1
+"""
+
+
+def q_evidence_frequency(spark, sf_dir):
+    """FrequencyTemplate: per (doc, type) evidence counts with a
+    has-max-evidence flag (window max)."""
+    m = q_mentions_dict(spark, sf_dir)
+    c = m.groupBy("doc_id", "type_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id")
+    return c.withColumn("is_max", (F.col("n") == F.max("n").over(w)).cast("int"))
+
+
+SQL_EVIDENCE_FREQUENCY = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       m AS (SELECT doc_id, type_id FROM toks JOIN dict ON token = surface),
+       c AS (SELECT doc_id, type_id, count(*) AS n FROM m GROUP BY doc_id, type_id)
+  SELECT doc_id, type_id, n,
+         CAST(n = max(n) OVER (PARTITION BY doc_id) AS INT) AS is_max
+  FROM c
+"""
+
+
+def q_cooccurrence(spark, sf_dir):
+    """CooccurrenceTemplate: ordered type-pair counts within a document
+    (self-join on doc)."""
+    m = q_mentions_dict(spark, sf_dir).select("doc_id", "type_id").distinct()
+    a = m.withColumnRenamed("type_id", "type_a")
+    b = m.withColumnRenamed("type_id", "type_b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_COOCCURRENCE = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       m AS (SELECT DISTINCT doc_id, type_id FROM toks JOIN dict ON token = surface)
+  SELECT a.type_id AS type_a, b.type_id AS type_b, count(*) AS n_docs
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.type_id < b.type_id
+  GROUP BY a.type_id, b.type_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Text-quality scoring: length, stopword ratio, distinct-token ratio —
+    the document quality stage of a training-data pipeline."""
+    t = _tokens(spark, sf_dir)
+    agg = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(F.col("token").isin(STOPWORDS).cast("int")).alias("n_stop"),
+    )
+    return _docs(spark, sf_dir).select("doc_id", "n_chars").join(agg, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct,
+                sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop
+         FROM toks GROUP BY doc_id)
+  SELECT d.doc_id, d.n_chars, agg.n_tokens,
+         round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+         round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+  FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id as canonical."""
+    d = _docs(spark, sf_dir).select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+    g = d.groupBy("sha").agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    return d.join(g, "sha").select("doc_id", "canonical_id", "n_copies")
+
+
+SQL_DEDUP_EXACT = """
+  WITH d AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+       g AS (SELECT sha, min(doc_id) AS canonical_id, count(*) AS n_copies FROM d GROUP BY sha)
+  SELECT doc_id, canonical_id, n_copies FROM d JOIN g USING (sha)
+"""
+
+def q_triples_kg(spark, sf_dir):
+    """Triple materialization (mini KG over documents): every distinct
+    dictionary mention becomes a (doc, 'mentions_<Type>', surface) triple —
+    the flattening step of the OBIE pipeline expressed relationally."""
+    m = q_mentions_dict(spark, sf_dir)
+    return (
+        m.select(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+SQL_TRIPLES_KG = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL})
+  SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+         'mentions_' || type_id AS pred,
+         token AS obj
+  FROM toks JOIN dict ON token = surface
+"""
+
+
+QUERIES = {
+    "doc_sha256": q_doc_sha256,
+    "token_stats": q_token_stats,
+    "mentions_dict": q_mentions_dict,
+    "high_frequency": q_high_frequency,
+    "evidence_frequency": q_evidence_frequency,
+    "cooccurrence": q_cooccurrence,
+    "quality_score": q_quality_score,
+    "dedup_exact": q_dedup_exact,
+    "triples_kg": q_triples_kg,
+}
+
+ORACLES = {
+    "doc_sha256": SQL_DOC_SHA256,
+    "token_stats": SQL_TOKEN_STATS,
+    "mentions_dict": SQL_MENTIONS_DICT,
+    "high_frequency": SQL_HIGH_FREQUENCY,
+    "evidence_frequency": SQL_EVIDENCE_FREQUENCY,
+    "cooccurrence": SQL_COOCCURRENCE,
+    "quality_score": SQL_QUALITY_SCORE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "triples_kg": SQL_TRIPLES_KG,
+}
+
+
+# ----------------------------------------------------- dedup / similarity
+
+N_MINHASH = 8
+SHINGLE_K = 3
+
+
+def _shingles(spark, sf_dir):
+    """3-token shingles via window lead — portable across engines."""
+    t = _tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = t.withColumn("t2", F.lead("token", 1).over(w)).withColumn("t3", F.lead("token", 2).over(w))
+    return (
+        sh.filter(F.col("t3").isNotNull())
+        .select("doc_id", "pos", F.concat_ws(" ", "token", "t2", "t3").alias("shingle"))
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, pos, token || ' ' || t2 || ' ' || t3 AS shingle
+  FROM (SELECT doc_id, pos, token,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+        FROM ({_TOKENS_SQL}))
+  WHERE t3 IS NOT NULL
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures over 3-token shingles. The hash family is
+    md5(seed || ':' || shingle); taking the MIN of the hex string is
+    order-isomorphic to min over the 128-bit integer, and is portable
+    bit-for-bit across engines."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURE = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL}))
+  SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: 4 bands x 2 rows; near-duplicate candidate
+    pairs = docs sharing any band bucket (shingle -> minhash -> band ->
+    bucket-join), then verified by signature agreement rate."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = None
+    for b in range(N_MINHASH // 2):
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}")).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b_ = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sig AS (
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+    FROM sh GROUP BY doc_id),
+  bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document: per bit b, the parity of md5-hex char
+    b of each token votes +/-1; bit set iff the vote sum is positive.
+    ascii() parity is engine-portable."""
+    t = _tokens(spark, sf_dir).select("doc_id", "token")
+    bits = t.select("doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+    vote = F.when(F.ascii(F.substring(F.md5("token"), F.col("b") + 1, 1)) % 2 == 1, 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(vote).alias("v"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0))).cast("long").alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  bits AS (SELECT doc_id, token, unnest(range(0, 16)) AS b FROM toks),
+  per_bit AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ascii(substring(md5(token), CAST(b + 1 AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+    FROM bits GROUP BY doc_id, b)
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow(2, b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (>= 0.8) — the verify stage that
+    follows LSH candidate generation (JaccardRetrieval semantics applied
+    doc-to-doc). The equi-join on shingles IS the bucketing: only pairs
+    sharing a shingle are scored."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = size.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = size.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = common.join(na, "doc_a").join(nb, "doc_b").withColumn(
+        "jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6)
+    )
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  size_ AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+  SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+  FROM common
+  JOIN size_ na ON na.doc_id = doc_a
+  JOIN size_ nb ON nb.doc_id = doc_b
+  WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) >= 0.8
+"""
+
+
+QUERIES.update({
+    "minhash_signature": q_minhash_signature,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+})
+ORACLES.update({
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+})
+
+
+# ------------------------------------------------- similarity search (ANN)
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_pairs_cosine(spark, sf_dir, query_filter=None):
+    """All-pairs cosine via posexplode + equi-join on the dimension index —
+    the brute-force baseline. At scale, the same plan runs per LSH bucket
+    (q_ann_lsh_buckets) instead of all-pairs."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    )
+    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
+    a = e.withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "va")
+    if query_filter is not None:
+        a = a.filter(query_filter(F.col("qid")))
+    b = e.withColumnRenamed("vec_id", "nid").withColumnRenamed("v", "vb")
+    dot = (
+        a.join(b, "d")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("norm_a"))
+    nb = norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("norm_b"))
+    return dot.join(na, "qid").join(nb, "nid").withColumn(
+        "cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+    )
+
+
+_EMB_PAIRS_SQL = """
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  dot AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+    FROM e a JOIN e b ON a.d = b.d AND a.vec_id <> b.vec_id {QFILTER}
+    GROUP BY a.vec_id, b.vec_id),
+  pairs AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM dot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid)
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 20)."""
+    pairs = _emb_pairs_cosine(spark, sf_dir, query_filter=lambda q: q < 20)
+    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_COSINE_TOPK = (
+    _EMB_PAIRS_SQL.replace("{QFILTER}", "AND a.vec_id < 20")
+    + """
+  SELECT qid, nid, rank, round(cos, 4) AS cos FROM (
+    SELECT qid, nid, cos,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS INT) AS rank
+    FROM pairs) WHERE rank <= 5
+"""
+)
+
+
+def q_cosine_pairs_threshold(spark, sf_dir):
+    """Near-duplicate detection in embedding space: all pairs above 0.35."""
+    pairs = _emb_pairs_cosine(spark, sf_dir)
+    return (
+        pairs.filter((F.col("qid") < F.col("nid")) & (F.round("cos", 6) >= 0.35))
+        .select("qid", "nid", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_COSINE_PAIRS_THRESHOLD = (
+    _EMB_PAIRS_SQL.replace("{QFILTER}", "")
+    + """
+  SELECT qid, nid, round(cos, 4) AS cos FROM pairs
+  WHERE qid < nid AND round(cos, 6) >= 0.35
+"""
+)
+
+
+N_PLANES = 8
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (the scale path for ANN): plane
+    weights derived deterministically from md5(plane:dim) ascii codes, sign
+    of the projection per plane -> bucket id. Rows with |projection| below
+    1e-6 are dropped on both engines (sign would be fp-noise-sensitive)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    )
+    planes = e.select("vec_id", "d", "v", F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"))
+    wgt = (
+        (F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 1, 1)) * 256
+         + F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 2, 1))) / 65536.0 - 0.5
+    )
+    proj = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * wgt).alias("proj"))
+    proj = proj.filter(F.abs("proj") > 1e-6)
+    bucket = proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0))).cast("long").alias("bucket")
+    )
+    return bucket.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+  planes AS (SELECT vec_id, d, v, unnest(range(0, {N_PLANES})) AS p FROM e),
+  proj AS (
+    SELECT vec_id, p,
+           sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
+                     + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
+    FROM planes GROUP BY vec_id, p),
+  bucket AS (
+    SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id)
+  SELECT bucket, count(*) AS n_vectors FROM bucket GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------- text analysis
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints: shingle hashes, rolling window-4
+    minimum, distinct fingerprints per doc (rolling-hash fingerprinting for
+    copy detection)."""
+    sh = _shingles(spark, sf_dir).withColumn("h", F.substring(F.md5("shingle"), 1, 16))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = sh.withColumn("fp", F.min("h").over(w))
+    return fp.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+  WITH sh AS (SELECT doc_id, pos, substring(md5(shingle), 1, 16) AS h FROM ({_SHINGLES_SQL})),
+  fp AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         FROM sh)
+  SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+  FROM fp GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language marker-token hit rates (n-gram
+    scoring over an inline marker table), predicted language = argmax."""
+    markers = [("the", "en"), ("a", "en"), ("data", "en"), ("der", "de"), ("und", "de"),
+               ("le", "fr"), ("et", "fr"), ("el", "es"), ("y", "es")]
+    m = spark.createDataFrame(markers, ["marker", "marker_lang"])
+    t = _tokens(spark, sf_dir)
+    hits = (
+        t.join(F.broadcast(m), t.token == m.marker)
+        .groupBy("doc_id", "marker_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("marker_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return _docs(spark, sf_dir).select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce("marker_lang", F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+    )
+
+
+_MARKERS_SQL = "('the','en'),('a','en'),('data','en'),('der','de'),('und','de'),('le','fr'),('et','fr'),('el','es'),('y','es')"
+
+SQL_LANG_ID = f"""
+  WITH markers(marker, marker_lang) AS (VALUES {_MARKERS_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  hits AS (
+    SELECT doc_id, marker_lang, count(*) AS hits
+    FROM toks JOIN markers ON token = marker GROUP BY doc_id, marker_lang),
+  best AS (
+    SELECT doc_id, marker_lang, hits,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, marker_lang ASC) AS rn
+    FROM hits)
+  SELECT d.doc_id, d.lang,
+         coalesce(b.marker_lang, 'unknown') AS predicted_lang,
+         coalesce(b.hits, 0) AS hits
+  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def q_levenshtein_linking(spark, sf_dir):
+    """Fuzzy dictionary linking (LuceneRetrieval/Levenshtein semantics):
+    misspelled dictionary surfaces linked to in-corpus tokens by edit
+    similarity >= 0.7, top-3 per surface."""
+    typos = [("tabel",), ("custmer",), ("windoww",), ("fliter",), ("streem",), ("sparkk",)]
+    ty = spark.createDataFrame(typos, ["surface"])
+    toks = _tokens(spark, sf_dir).select("token").distinct()
+    sim = 1.0 - F.levenshtein("surface", "token") / F.greatest(F.length("surface"), F.length("token"))
+    pairs = ty.crossJoin(toks).withColumn("sim", F.round(sim, 6)).filter(F.col("sim") >= 0.7)
+    w = W.partitionBy("surface").orderBy(F.desc("sim"), F.asc("token"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).select(
+        "surface", "token", "sim", "rank"
+    )
+
+
+_TYPOS_SQL = "('tabel'),('custmer'),('windoww'),('fliter'),('streem'),('sparkk')"
+
+SQL_LEVENSHTEIN_LINKING = f"""
+  WITH typos(surface) AS (VALUES {_TYPOS_SQL}),
+  toks AS (SELECT DISTINCT token FROM ({_TOKENS_SQL})),
+  pairs AS (
+    SELECT surface, token,
+           round(1.0 - CAST(levenshtein(surface, token) AS DOUBLE)
+                 / greatest(length(surface), length(token)), 6) AS sim
+    FROM typos, toks),
+  ranked AS (
+    SELECT surface, token, sim,
+           CAST(row_number() OVER (PARTITION BY surface ORDER BY sim DESC, token ASC) AS INT) AS rank
+    FROM pairs WHERE sim >= 0.7)
+  SELECT surface, token, sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ------------------------------------------------------- relational layer
+
+def q_pricing_summary(spark, sf_dir):
+    """Hash-aggregate layer (TPC-H Q1 shape) over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_rows
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + window rank: top-10 customers by order value."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    j = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).select("c_custkey", "c_name", "revenue")
+    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+SQL_TOP_CUSTOMERS = """
+  WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY o_custkey),
+  j AS (SELECT c_custkey, c_name, revenue FROM rev JOIN customer ON o_custkey = c_custkey)
+  SELECT c_custkey, c_name, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rank
+  FROM j QUALIFY rank <= 10
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Event sessionization (lag + cumulative window): sessions split at
+    30-minute gaps; per-user session counts."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = e.withColumn("new_session", (gap.isNull() | (gap > 1800)).cast("int"))
+    return sess.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+  WITH s AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events)
+  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM s GROUP BY user_id
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS) — the dedup/overlap-filter primitive:
+    customers with no URGENT-priority order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+  SELECT c_custkey, c_name FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+QUERIES.update({
+    "cosine_topk": q_cosine_topk,
+    "cosine_pairs_threshold": q_cosine_pairs_threshold,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "levenshtein_linking": q_levenshtein_linking,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "sessionize_events": q_sessionize_events,
+    "customers_without_orders": q_customers_without_orders,
+})
+ORACLES.update({
+    "cosine_topk": SQL_COSINE_TOPK,
+    "cosine_pairs_threshold": SQL_COSINE_PAIRS_THRESHOLD,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "levenshtein_linking": SQL_LEVENSHTEIN_LINKING,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+})
