@@ -100,6 +100,12 @@ def compute_features(pairs: DataFrame) -> DataFrame:
         _emit(pairs.filter(F.col("is_nearest_root") == 1), F.concat(F.lit("nearest_root["), slot, F.lit("]")))
     )
     parts.append(
+        _emit(
+            pairs.filter(after_root & before_next & (F.col("is_nearest_root") == 1)),
+            F.concat(F.lit("in_block_nearest["), slot, F.lit("]")),
+        )
+    )
+    parts.append(
         _emit(pairs, F.concat(F.lit("filler["), slot, F.lit("]="), F.coalesce("class_id", F.lit("null"))))
     )
 
@@ -118,9 +124,14 @@ def compute_features(pairs: DataFrame) -> DataFrame:
                 IB_MAX_TOKENS,
             ),
         )
-        .select("pair_id", "slot_name", F.explode("ib_toks").alias("tok"))
+        .select("pair_id", "slot_name", F.size("ib_toks").alias("n_ib"), F.explode("ib_toks").alias("tok"))
     )
-    parts.append(_emit(ib, F.concat(F.lit("ib["), F.col("slot_name"), F.lit("]="), F.col("tok"))))
+    # unit total mass per pair: a pair with many in-between tokens must not
+    # outscore one with few just by having more lexical features
+    parts.append(
+        _emit(ib, F.concat(F.lit("ib["), F.col("slot_name"), F.lit("]="), F.col("tok")),
+              F.lit(1.0) / F.col("n_ib"))
+    )
 
     # token context +-2 around the candidate mention
     left_raw = F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS}), least(onset - 1, {CTX_CHARS}))")

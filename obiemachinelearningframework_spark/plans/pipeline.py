@@ -26,10 +26,11 @@ from ..operators.triples import materialize_triples
 
 
 class OBIEPipeline:
-    def __init__(self, spark, ontology, min_ner_length: int = 2):
+    def __init__(self, spark, ontology, min_ner_length: int = 2, fuzzy_linking: bool = True):
         self.spark = spark
         self.ontology = ontology
         self.min_ner_length = min_ner_length
+        self.fuzzy_linking = fuzzy_linking
         self.weights: pd.DataFrame | None = None
         self.thresholds: dict = {}
 
@@ -39,7 +40,16 @@ class OBIEPipeline:
         return prepare_instances(source_df)
 
     def mentions(self, instances: DataFrame) -> DataFrame:
-        return detect_mentions(instances, self.ontology, self.min_ner_length)
+        base = detect_mentions(instances, self.ontology, self.min_ner_length)
+        if self.fuzzy_linking:
+            from ..operators.linking import fuzzy_link_tokens, unknown_capitalized_tokens
+
+            unknown = unknown_capitalized_tokens(instances, base)
+            linked = fuzzy_link_tokens(unknown, self.ontology, self.spark)
+            base = base.unionByName(linked).dropDuplicates(
+                ["doc_key", "kind", "type_id", "onset", "offset"]
+            )
+        return base
 
     def roots_and_candidates(self, mentions: DataFrame):
         return propose_roots(mentions, self.ontology), generate_candidates(mentions, self.ontology)
@@ -73,6 +83,17 @@ class OBIEPipeline:
         pairs = scored_pairs(roots, candidates, instances, w_df)
         assignments = greedy_fill(pairs, self.ontology, self.thresholds)
         triples = materialize_triples(assignments)
+        # cross-doc canonicalization: entity ids from dictionary grounding
+        # are already canonical, so identity components; alias edges (e.g.
+        # from fuzzy linking of surface variants) merge further.
+        from ..operators.canonicalize import (
+            canonicalization_edges,
+            canonicalize_triples,
+            connected_components,
+        )
+
+        comps = connected_components(canonicalization_edges(triples))
+        triples = canonicalize_triples(triples, comps)
         return {
             "mentions": mentions,
             "roots": roots,
