@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_lsh_buckets",
     "pricing_summary",
     "sessionize_events",
+    "token_count_bpe",
+    "multimodal_image_stats",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

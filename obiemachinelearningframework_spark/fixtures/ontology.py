@@ -54,6 +54,12 @@ class Ontology:
             "closure": spark.createDataFrame(self.closure),
         }
 
+    @property
+    def class_depth(self) -> dict:
+        """class_id -> hierarchy level (HierarchyTemplate's depth feature,
+        ``templates/HierarchyTemplate.java:117-119``)."""
+        return dict(zip(self.classes.class_id, self.classes.level))
+
     def subclasses_of(self, class_id: str) -> list:
         c = self.closure
         return sorted(c[c.ancestor_class_id == class_id].descendant_class_id.tolist())

@@ -1,0 +1,21 @@
+from .assets import (
+    RAW_IMAGE_MAGIC,
+    RAW_AUDIO_MAGIC,
+    RAW_VIDEO_MAGIC,
+    synthesize_assets,
+    assets_from_documents,
+)
+from .decode import decode_images, resize_images, image_features, frame_sample, audio_features
+
+__all__ = [
+    "RAW_IMAGE_MAGIC",
+    "RAW_AUDIO_MAGIC",
+    "RAW_VIDEO_MAGIC",
+    "synthesize_assets",
+    "assets_from_documents",
+    "decode_images",
+    "resize_images",
+    "image_features",
+    "frame_sample",
+    "audio_features",
+]

@@ -1,0 +1,145 @@
+"""Multimodal asset columns: opaque binary payloads + typed metadata.
+
+A large-scale training-data pipeline carries image/audio/video alongside
+text. The Spark-side contract here is real and tested — schema, partition
+strategy, Arrow batch shapes, mapInPandas signatures — while the *codec*
+layer is a deterministic in-repo RAW format (this container has no
+PIL/ffmpeg/librosa; real codecs plug into the same seams, see
+``decode.DECODERS``).
+
+Table schema (the shape an Iceberg `assets` table would have at 100 TB,
+partitioned by ``kind`` and bucketed by ``asset_id`` so decode stages scan
+one modality without touching the others):
+
+    assets(asset_id bigint, kind string, payload binary,
+           meta struct<width int, height int, channels int,
+                       sample_rate int, n_samples int,
+                       n_frames int, codec string>)
+
+RAW payload formats (little-endian, deterministic from (asset_id, seed)):
+  image: b"RIMG" + w:int32 + h:int32 + c:int32 + w*h*c uint8 pixels
+  audio: b"RAUD" + sample_rate:int32 + n:int32 + n int16 PCM samples
+  video: b"RVID" + w:int32 + h:int32 + n_frames:int32 + frames of w*h uint8
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RAW_IMAGE_MAGIC = b"RIMG"
+RAW_AUDIO_MAGIC = b"RAUD"
+RAW_VIDEO_MAGIC = b"RVID"
+
+META_FIELDS = [
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("codec", StringType()),
+]
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta", StructType(META_FIELDS), False),
+    ]
+)
+
+
+def _rng(asset_id: int, seed: int) -> np.random.Generator:
+    return np.random.default_rng(np.uint64(asset_id * 2654435761 + seed))
+
+
+def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
+    px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
+    return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
+
+
+def encode_raw_audio(asset_id: int, seed: int, sample_rate: int = 8000, n: int = 400) -> bytes:
+    pcm = _rng(asset_id, seed).integers(-32768, 32768, size=n, dtype=np.int16)
+    return RAW_AUDIO_MAGIC + struct.pack("<ii", sample_rate, n) + pcm.tobytes()
+
+
+def encode_raw_video(asset_id: int, seed: int, w: int = 8, h: int = 8, n_frames: int = 12) -> bytes:
+    frames = _rng(asset_id, seed).integers(0, 256, size=w * h * n_frames, dtype=np.uint8)
+    return RAW_VIDEO_MAGIC + struct.pack("<iii", w, h, n_frames) + frames.tobytes()
+
+
+def _make_asset(asset_id: int, seed: int) -> tuple:
+    kind = ("image", "audio", "video")[asset_id % 3]
+    if kind == "image":
+        payload = encode_raw_image(asset_id, seed)
+        meta = (16, 12, 3, None, None, None, "raw-img")
+    elif kind == "audio":
+        payload = encode_raw_audio(asset_id, seed)
+        meta = (None, None, None, 8000, 400, None, "raw-pcm16")
+    else:
+        payload = encode_raw_video(asset_id, seed)
+        meta = (8, 8, 1, None, None, 12, "raw-vid")
+    return (asset_id, kind, bytearray(payload), meta)
+
+
+def synthesize_assets(spark: SparkSession, n: int = 96, seed: int = 7,
+                      partitions: int = 8) -> DataFrame:
+    """Deterministic asset table, generated distributed: the driver ships
+    only (asset_id, seed); payload bytes materialize inside mapInPandas on
+    the executors (at 10^9 assets the driver never holds a payload)."""
+    ids = spark.range(0, n, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_make_asset(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": [r[1] for r in rows],
+                    "payload": [r[2] for r in rows],
+                    "meta": [
+                        {f.name: v for f, v in zip(META_FIELDS, r[3])} for r in rows
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Derive an image-asset table 1:1 from a documents table — payload is a
+    deterministic function of doc_id, so any sf_dir yields the same assets
+    on every engine/run. Demonstrates binary-column derivation from an
+    existing corpus (the 'render the doc' pattern)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(int(i), bytearray(encode_raw_image(int(i), seed))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": ["image"] * len(rows),
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {"width": 16, "height": 12, "channels": 3, "sample_rate": None,
+                         "n_samples": None, "n_frames": None, "codec": "raw-img"}
+                    ] * len(rows),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)

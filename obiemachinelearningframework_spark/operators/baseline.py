@@ -1,10 +1,16 @@
-"""HighFrequencyBaseline — the v1 smoke baseline and sandwich lower bound.
+"""Baselines — the sandwich bounds around the trained slot filler.
 
-Re-creates ``tools/baseline/HighFrequencyBaseline.java:34-80``: for every
-slot, predict (at most one) the most frequent candidate in the document —
-frequency of its text evidence, ties broken by earliest onset. No
-locality, no learning: the trained slot filler must beat this, the
-UpperBound oracle caps it from above.
+* ``high_frequency_fill`` re-creates
+  ``tools/baseline/HighFrequencyBaseline.java:34-80``: for every slot,
+  predict (at most one) the most frequent candidate in the document —
+  frequency of its text evidence, ties broken by earliest onset.
+* ``random_fill`` re-creates ``tools/baseline/RandomBaseline.java:28-50``:
+  a uniformly random candidate per slot under the same exploration
+  constraints (evidence-pruned candidate set), seeded for determinism
+  (the reference's RNG is unseeded; we pin it, SURVEY.md §4#8).
+
+The trained filler must land between random/high-frequency from below and
+the UpperBound oracle (``distributor.upper_bound_recall``) from above.
 """
 
 from __future__ import annotations
@@ -38,6 +44,17 @@ def high_frequency_fill(roots: DataFrame, candidates: DataFrame, mentions: DataF
     )
     w = W.partitionBy("doc_key", "slot_name").orderBy(F.desc("freq"), F.asc("onset"), F.asc("obj_id"))
     top = cand.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn", "type_count", "value_count", "freq")
+    return roots.select("doc_key", "root_id", "root_class_id", "anchor_individual_id").join(
+        top, "doc_key"
+    )
+
+
+def random_fill(roots: DataFrame, candidates: DataFrame, seed: int = 100) -> DataFrame:
+    """One uniformly random candidate per (doc, slot), seeded hash order."""
+    w = W.partitionBy("doc_key", "slot_name").orderBy(
+        F.xxhash64("doc_key", "slot_name", "obj_id", F.col("onset").cast("string"), F.lit(seed))
+    )
+    top = candidates.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
     return roots.select("doc_key", "root_id", "root_class_id", "anchor_individual_id").join(
         top, "doc_key"
     )

@@ -93,6 +93,15 @@ def beam_fill(
                 .unionByName(kept_old)
             )
 
+            # cut lineage FIRST: the state appears three times per iteration
+            # (carry-over filter + accepted + kept-old), so an untruncated
+            # plan tree grows 3^(sweeps*slots) and strangles the driver;
+            # the convergence count below then runs on the truncated plan
+            if checkpointer is not None:
+                new_state = checkpointer.write(stage, new_state, meta={"sweep": sweep, "slot": slot})
+            else:
+                new_state = new_state.localCheckpoint()
+
             # convergence bookkeeping: did the slot's assignment set change?
             key = ["doc_key", "root_id", "slot_name", "obj_id"]
             changed = (
@@ -102,10 +111,8 @@ def beam_fill(
                 .count()
             )
             sweep_changed += changed
-
             if checkpointer is not None:
-                new_state = checkpointer.write(stage, new_state, meta={"sweep": sweep, "slot": slot, "changed": changed})
-                checkpointer.log_metrics(stage, {"changed": changed, "rows": new_state.count()})
+                checkpointer.log_metrics(stage, {"changed": changed})
             state = new_state
 
         if sweep_changed == 0:  # a full sweep with zero accepted changes

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     """edges(src, dst) undirected -> components(id, component) where
     component = min id reachable. Deterministic."""
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()  # cut lineage: iterations must not re-derive edges
+    )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     comp = nodes.withColumn("component", F.col("id")).localCheckpoint()
 
@@ -38,19 +42,19 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
             .select("id", F.least("component", F.coalesce("n_comp", "component")).alias("component"))
         )
         # propagate through component representatives (pointer jumping):
-        # comp(id) -> comp(comp(id)) halves path lengths each round
+        # comp(id) -> comp(comp(id)) halves path lengths each round.
+        # Carry the old component along so convergence falls out of the
+        # same materialization (one action per iteration, not two).
         jump = new_comp.alias("a").join(
             new_comp.select(F.col("id").alias("component"), F.col("component").alias("jumped")).alias("b"),
             "component",
             "left",
-        ).select("id", F.coalesce("jumped", "component").alias("component"))
+        ).select(
+            "id", F.coalesce("jumped", "component").alias("component"),
+        ).join(comp.select("id", F.col("component").alias("prev")), "id")
         jump = jump.localCheckpoint()
-        changed = (
-            jump.alias("n").join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        comp = jump
+        changed = jump.filter(F.col("component") != F.col("prev")).count()
+        comp = jump.select("id", "component")
         if changed == 0:
             break
     return comp

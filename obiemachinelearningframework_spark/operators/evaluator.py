@@ -216,6 +216,65 @@ def tree_prf(pred_nodes: DataFrame, gold_nodes: DataFrame, ontology) -> DataFram
     )
 
 
+def strict_nel_prf(pred_mentions: DataFrame, gold_mentions: DataFrame,
+                   keys: list[str] | None = None) -> dict:
+    """StrictNamedEntityLinkingEvaluator (:25-115): set-based micro P/R/F1
+    on exact annotation equality — join-based set intersection counts."""
+    keys = keys or ["doc_key", "kind", "type_id", "onset", "offset"]
+    p = pred_mentions.select(*keys).dropDuplicates()
+    g = gold_mentions.select(*keys).dropDuplicates()
+    tp = p.join(g, keys, "inner").count()
+    n_pred, n_gold = p.count(), g.count()
+    prec = tp / n_pred if n_pred else 0.0
+    rec = tp / n_gold if n_gold else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": n_pred - tp, "fn": n_gold - tp,
+            "precision": prec, "recall": rec, "f1": f1}
+
+
+def per_slot_prf(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """Slot-wise P/R/F1 breakdown (run/eval/EvaluatePrediction.java:150+):
+    per predicate, exact-match tp/fp/fn and the derived rates."""
+    keys = ["doc_key", "subj", "pred", "obj"]
+    p = pred_triples.select(*keys).dropDuplicates()
+    g = gold_triples.select(*keys).dropDuplicates()
+    tp = p.join(g, keys, "inner").groupBy("pred").agg(F.count("*").alias("tp"))
+    np_ = p.groupBy("pred").agg(F.count("*").alias("n_pred"))
+    ng = g.groupBy("pred").agg(F.count("*").alias("n_gold"))
+    j = (
+        np_.join(ng, "pred", "full_outer")
+        .join(tp, "pred", "left")
+        .fillna({"tp": 0, "n_pred": 0, "n_gold": 0})
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return j.select(
+        "pred", "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_gold") - F.col("tp")).alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def purity(clusters: DataFrame, categories: DataFrame) -> dict:
+    """PurityEvaluator (:15-37; Amigó et al. 2011): Purity =
+    Σ_i (|C_i|/N) · max_j |C_i ∩ L_j| / |C_i|; InversePurity swaps the
+    roles. Inputs: (item_id, cluster_id) and (item_id, category_id) — a
+    groupBy/max computation, no pairwise blow-up."""
+    j = clusters.join(categories, "item_id")
+    overlap = j.groupBy("cluster_id", "category_id").agg(F.count("*").alias("o"))
+    n = clusters.count()
+    best_per_cluster = overlap.groupBy("cluster_id").agg(F.max("o").alias("mx"))
+    pur = (best_per_cluster.agg(F.sum("mx")).collect()[0][0] or 0) / n if n else 0.0
+    best_per_cat = overlap.groupBy("category_id").agg(F.max("o").alias("mx"))
+    inv = (best_per_cat.agg(F.sum("mx")).collect()[0][0] or 0) / n if n else 0.0
+    f = 2 * pur * inv / (pur + inv) if pur + inv else 0.0
+    return {"purity": pur, "inverse_purity": inv, "f_purity": f, "n": n}
+
+
 def micro_prf(per_doc: DataFrame) -> dict:
     row = per_doc.agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")).collect()[0]
     tp, fp, fn = row.tp or 0, row.fp or 0, row.fn or 0

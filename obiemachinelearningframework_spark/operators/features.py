@@ -73,13 +73,35 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     )
 
 
-def _emit(df: DataFrame, feature_col, value_col=None) -> DataFrame:
+def _fs(feature_col, value_col=None):
+    """One feature as struct<feature:string, value:double>."""
     v = value_col if value_col is not None else F.lit(1.0)
-    return df.select("pair_id", feature_col.alias("feature"), v.cast("double").alias("value"))
+    return F.struct(feature_col.alias("feature"), v.cast("double").alias("value"))
 
 
-def compute_features(pairs: DataFrame) -> DataFrame:
-    """pairs -> long-format (pair_id, feature, value)."""
+def _fs_if(cond, feature_col, value_col=None):
+    """Conditional feature: null when cond is false (dropped by
+    array_compact before the explode)."""
+    return F.when(cond, _fs(feature_col, value_col))
+
+
+def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | None = None) -> DataFrame:
+    """pairs -> long-format (pair_id, feature, value). ``ontology`` adds the
+    hierarchy-depth family (broadcast class->depth map); ``kb_triples`` adds
+    the KnowledgeBaseTemplate family (does (root, slot, filler) exist in a
+    prior KB — ``templates/KnowledgeBaseTemplate.java:243-330`` with the
+    SPARQL store replaced by a broadcast join against a triples table,
+    e.g. our own previous output). Omitted, the remaining families are
+    unchanged (train and predict must agree).
+
+    Fused single-pass plan: the per-(doc,slot,obj) / per-(doc,slot) /
+    per-doc statistics come from window functions (shuffles on progressively
+    coarser prefixes of the same key — AQE coalesces them), then EVERY
+    feature family is emitted from ONE projection as an array of
+    (feature, value) structs that is flattened by a single explode. One
+    wide codegen stage instead of a union of ~20 subtrees — at 10^12 pairs
+    the union form scans the pair table 20x and multiplies the shuffle
+    count; this form scans it once."""
     slot = F.col("slot_name")
     sent_dist = F.col("sent_idx") - F.col("root_sent")
     dist_bin = (
@@ -89,87 +111,145 @@ def compute_features(pairs: DataFrame) -> DataFrame:
     )
     after_root = F.col("onset") > F.col("root_onset")
     before_next = F.col("next_root_onset").isNull() | (F.col("onset") < F.col("next_root_onset"))
+    nearest = F.col("is_nearest_root") == 1
 
-    parts: list[DataFrame] = []
-    parts.append(_emit(pairs, F.concat(F.lit("bias["), slot, F.lit("]"))))
-    parts.append(_emit(pairs, F.concat(F.lit("dist["), slot, F.lit("]="), dist_bin)))
-    parts.append(_emit(pairs.filter(after_root), F.concat(F.lit("after_root["), slot, F.lit("]"))))
-    parts.append(_emit(pairs.filter(before_next), F.concat(F.lit("before_next["), slot, F.lit("]"))))
-    parts.append(_emit(pairs.filter(after_root & before_next), F.concat(F.lit("in_block["), slot, F.lit("]"))))
-    parts.append(
-        _emit(pairs.filter(F.col("is_nearest_root") == 1), F.concat(F.lit("nearest_root["), slot, F.lit("]")))
-    )
-    parts.append(
-        _emit(
-            pairs.filter(after_root & before_next & (F.col("is_nearest_root") == 1)),
-            F.concat(F.lit("in_block_nearest["), slot, F.lit("]")),
-        )
-    )
-    parts.append(
-        _emit(pairs, F.concat(F.lit("filler["), slot, F.lit("]="), F.coalesce("class_id", F.lit("null"))))
+    # per-(doc,slot,obj) evidence count & root-pairing count, per-(doc,slot)
+    # max evidence, per-doc root count — window functions over prefixes of
+    # one key family (FrequencyTemplate, HeterogeneousSlotTemplate,
+    # RootClassCardinalityTemplate statistics)
+    w_obj = W.partitionBy("doc_key", "slot_name", "obj_id")
+    w_slot = W.partitionBy("doc_key", "slot_name")
+    w_doc = W.partitionBy("doc_key")
+    p = (
+        pairs.withColumn("_n_ev", F.count("*").over(w_obj))
+        .withColumn("_n_pairing", F.size(F.collect_set("root_id").over(w_obj)))
+        .withColumn("_mx_ev", F.max("_n_ev").over(w_slot))
+        .withColumn("_n_roots", F.size(F.collect_set("root_id").over(w_doc)))
     )
 
-    # in-between tokens (root mention -> candidate, discourse order)
+    # token-array families
     gap = F.col("onset") - F.col("root_offset")
-    ib = (
-        pairs.filter(after_root & (gap > 0) & (gap <= IB_MAX_CHARS))
-        .withColumn(
-            "ib_toks",
-            F.slice(
-                F.filter(
-                    F.split(F.lower(F.expr("substring(content, root_offset + 1, onset - root_offset)")), r"\W+"),
-                    lambda t: F.length(t) >= 2,
-                ),
-                1,
-                IB_MAX_TOKENS,
-            ),
-        )
-        .select("pair_id", "slot_name", F.size("ib_toks").alias("n_ib"), F.explode("ib_toks").alias("tok"))
+    ib_cond = after_root & (gap > 0) & (gap <= IB_MAX_CHARS)
+    ib_toks = F.slice(
+        F.filter(
+            F.split(F.lower(F.expr("substring(content, root_offset + 1, onset - root_offset)")), r"\W+"),
+            lambda t: F.length(t) >= 2,
+        ),
+        1,
+        IB_MAX_TOKENS,
     )
-    # unit total mass per pair: a pair with many in-between tokens must not
-    # outscore one with few just by having more lexical features
-    parts.append(
-        _emit(ib, F.concat(F.lit("ib["), F.col("slot_name"), F.lit("]="), F.col("tok")),
-              F.lit(1.0) / F.col("n_ib"))
-    )
-
-    # token context +-2 around the candidate mention
     left_raw = F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS}), least(onset - 1, {CTX_CHARS}))")
     right_raw = F.expr(f"substring(content, offset + 1, {CTX_CHARS})")
     ltoks = F.reverse(F.filter(F.split(F.lower(left_raw), r"\W+"), lambda t: F.length(t) >= 1))
     rtoks = F.filter(F.split(F.lower(right_raw), r"\W+"), lambda t: F.length(t) >= 1)
-    ctx = pairs.select("pair_id", "slot_name", ltoks.alias("lt"), rtoks.alias("rt"))
-    for name, arr, idx in (("ctx_l1", "lt", 1), ("ctx_l2", "lt", 2), ("ctx_r1", "rt", 1), ("ctx_r2", "rt", 2)):
-        tok = F.try_element_at(F.col(arr), F.lit(idx))
-        parts.append(
-            _emit(
-                ctx.filter(tok.isNotNull() & (tok != "")),
-                F.concat(F.lit(f"{name}["), F.col("slot_name"), F.lit("]="), tok),
-            )
-        )
+    bow_toks = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: F.length(t) >= 1)
+    mt = F.concat(F.lit("#"), F.lower("text"), F.lit("#"))
+    c3_grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(mt) - 2, F.lit(1))),
+        lambda i: mt.substr(i, F.lit(3)),
+    )
+    p = (
+        p.withColumn("_ib", F.when(ib_cond, ib_toks))
+        .withColumn("_lt", ltoks)
+        .withColumn("_rt", rtoks)
+        .withColumn("_bow", bow_toks)
+        .withColumn("_c3", c3_grams)
+    )
 
-    # has-max-evidence within (doc, slot): frequency of this candidate's
-    # surface among candidates of the slot
-    wfreq = W.partitionBy("doc_key", "slot_name")
-    freq = pairs.groupBy("doc_key", "slot_name", "obj_id").agg(F.count("*").alias("n"))
-    freq = freq.withColumn("mx", F.max("n").over(wfreq)).filter(F.col("n") == F.col("mx"))
-    maxev = pairs.join(freq.select("doc_key", "slot_name", "obj_id"), ["doc_key", "slot_name", "obj_id"], "left_semi")
-    parts.append(_emit(maxev, F.concat(F.lit("max_evidence["), slot, F.lit("]"))))
-
-    # binned Levenshtein similarity text<->class name (class-valued slots)
-    cls_pairs = pairs.filter(F.col("slot_kind") == "cls")
     sim = 1.0 - F.levenshtein(F.lower("text"), F.lower("class_id")) / F.greatest(
         F.length("text"), F.length("class_id")
     )
-    for b in (0.5, 0.7, 0.9):
-        parts.append(
-            _emit(cls_pairs.filter(sim >= b), F.concat(F.lit(f"strsim>={b}["), slot, F.lit("]")))
+    is_cls = F.col("slot_kind") == "cls"
+
+    scalar = [
+        _fs(F.concat(F.lit("bias["), slot, F.lit("]"))),
+        _fs(F.concat(F.lit("dist["), slot, F.lit("]="), dist_bin)),
+        _fs_if(after_root, F.concat(F.lit("after_root["), slot, F.lit("]"))),
+        _fs_if(before_next, F.concat(F.lit("before_next["), slot, F.lit("]"))),
+        _fs_if(after_root & before_next, F.concat(F.lit("in_block["), slot, F.lit("]"))),
+        _fs_if(nearest, F.concat(F.lit("nearest_root["), slot, F.lit("]"))),
+        _fs_if(after_root & before_next & nearest,
+               F.concat(F.lit("in_block_nearest["), slot, F.lit("]"))),
+        _fs(F.concat(F.lit("filler["), slot, F.lit("]="), F.coalesce("class_id", F.lit("null")))),
+        # TokenContextTemplate ±2 window
+        *[
+            _fs_if(
+                F.try_element_at(F.col(arr), F.lit(idx)).isNotNull()
+                & (F.try_element_at(F.col(arr), F.lit(idx)) != ""),
+                F.concat(F.lit(f"{name}["), slot, F.lit("]="), F.try_element_at(F.col(arr), F.lit(idx))),
+            )
+            for name, arr, idx in (
+                ("ctx_l1", "_lt", 1), ("ctx_l2", "_lt", 2), ("ctx_r1", "_rt", 1), ("ctx_r2", "_rt", 2),
+            )
+        ],
+        # FrequencyTemplate has-max-evidence
+        _fs_if(F.col("_n_ev") == F.col("_mx_ev"), F.concat(F.lit("max_evidence["), slot, F.lit("]"))),
+        # StringSimilarityTemplate bins
+        *[
+            _fs_if(is_cls & (sim >= b), F.concat(F.lit(f"strsim>={b}["), slot, F.lit("]")))
+            for b in (0.5, 0.7, 0.9)
+        ],
+        # CooccurrenceTemplate value1+property+value2
+        _fs(F.concat(F.lit("cooc["), F.col("root_class_id"), F.lit("+"), slot, F.lit("]="),
+                     F.coalesce("class_id", F.lit("null")))),
+        # RootClassCardinalityTemplate bucket
+        _fs(F.concat(F.lit("n_roots["), slot, F.lit("]="),
+                     F.least(F.col("_n_roots"), F.lit(6)).cast("string"))),
+        # HeterogeneousSlotTemplate ==1 / !=1
+        _fs(F.concat(F.lit("het["), slot, F.lit("]="),
+                     F.when(F.col("_n_pairing") == 1, F.lit("eq1")).otherwise(F.lit("ne1")))),
+    ]
+
+    # HierarchyTemplate: ontology-depth of the assigned class
+    if ontology is not None and getattr(ontology, "class_depth", None) is not None:
+        from itertools import chain
+
+        depth_map = F.create_map(
+            *chain.from_iterable(
+                (F.lit(c), F.lit(int(d))) for c, d in ontology.class_depth.items()
+            )
+        )
+        d = depth_map[F.col("class_id")]
+        scalar.append(
+            _fs_if(d.isNotNull(), F.concat(F.lit("hier["), slot, F.lit("]="), d.cast("string")))
         )
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # token families carry unit total mass per pair (1/n per token): a pair
+    # with many tokens must not outscore one with few by feature count
+    def _tok_feats(arr_col, prefix):
+        n = F.greatest(F.size(arr_col), F.lit(1))
+        return F.transform(
+            arr_col,
+            lambda t: _fs(F.concat(F.lit(prefix + "["), slot, F.lit("]="), t), F.lit(1.0) / n),
+        )
+
+    # KnowledgeBaseTemplate: membership of the proposed assignment in a
+    # prior KB — broadcast left-semi-style flag join (the KB side is the
+    # distilled triple table, small relative to the pair table)
+    if kb_triples is not None:
+        kb = (
+            kb_triples.select(
+                F.col("pred").alias("slot_name"),
+                F.col("obj").alias("obj_id"),
+                F.lit(1).alias("_in_kb"),
+            ).dropDuplicates()
+        )
+        p = p.join(F.broadcast(kb), ["slot_name", "obj_id"], "left")
+        scalar.append(
+            _fs_if(F.col("_in_kb").isNotNull(), F.concat(F.lit("kb["), slot, F.lit("]")))
+        )
+
+    empty = F.array().cast("array<struct<feature:string,value:double>>")
+    all_feats = F.concat(
+        F.array_compact(F.array(*scalar)),
+        F.coalesce(_tok_feats(F.col("_ib"), "ib"), empty),
+        _tok_feats(F.col("_bow"), "bow"),
+        _tok_feats(F.col("_c3"), "c3g"),
+    )
+    return (
+        p.select("pair_id", F.explode(all_feats).alias("f"))
+        .select("pair_id", F.col("f.feature").alias("feature"), F.col("f.value").alias("value"))
+    )
 
 
 def score_pairs(features: DataFrame, weights: DataFrame) -> DataFrame:

@@ -23,14 +23,16 @@ from .features import build_pairs, compute_features, score_pairs
 ASSIGNMENT_COLS = [
     "doc_key", "root_id", "root_class_id", "anchor_individual_id",
     "slot_name", "slot_kind", "class_id", "individual_id", "dt_value",
-    "obj_id", "aux_values", "score",
+    "obj_id", "aux_values", "score", "text", "onset",
 ]
 
 
 def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
-                 weights_df: DataFrame) -> DataFrame:
-    pairs = build_pairs(roots, candidates, instances)
-    feats = compute_features(pairs)
+                 weights_df: DataFrame, ontology=None) -> DataFrame:
+    # pairs feeds both the feature pass and the final join-back: cache so
+    # the window-heavy build_pairs subtree is evaluated once
+    pairs = build_pairs(roots, candidates, instances).cache()
+    feats = compute_features(pairs, ontology)
     scores = score_pairs(feats, weights_df)
     return pairs.join(scores, "pair_id", "left").fillna({"score": 0.0})
 

@@ -1,0 +1,147 @@
+"""Active-learning rankers + sequential AL distributor.
+
+Re-creates the reference's ``activelearning/*.java`` ranker family and
+``corpus/distributor/ActiveLearningDistributor.java:15-40`` (Lewis-style
+sequential AL: each round, label the ``b`` least-certain unlabeled
+documents). Every ranker is one aggregation over the scored candidate
+pairs of the unlabeled pool — no per-doc loops:
+
+* FullDocumentEntropyRanker (:20-60) — entropy of the softmax over the
+  best-N state scores per document; here states = per-slot candidate
+  rankings, so the per-doc entropy aggregates the per-slot candidate
+  score distributions (N capped as in the reference).
+* DocumentModelScoreRanker      — ascending best model score.
+* DocumentVarianceRanker        — variance of candidate scores.
+* DocumentMarginRanker          — best minus second-best score (small
+                                  margin = uncertain).
+* DocumentLengthRanker          — ascending content length.
+* DocumentRandomRanker          — seeded hash order.
+
+The objective-score ranker (needs gold on the unlabeled pool) is only
+meaningful in simulation; ``rank_objective`` takes gold triples for that
+use. Each ranker returns (doc_key, rank_score) where SMALLER = labeled
+first, matching the reference's ascending-uncertainty pick.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+BEST_N = 20  # FullDocumentEntropyRanker best-N states cap
+
+
+def rank_entropy(pairs_with_scores: DataFrame, best_n: int = BEST_N) -> DataFrame:
+    """Negative softmax entropy over the best-N candidate scores per doc
+    (most-uncertain-first => rank_score = -entropy)."""
+    w = W.partitionBy("doc_key").orderBy(F.desc("score"))
+    top = pairs_with_scores.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= best_n
+    )
+    mx = top.groupBy("doc_key").agg(F.max("score").alias("mx"))
+    e = (
+        top.join(mx, "doc_key")
+        .withColumn("_e", F.exp(F.col("score") - F.col("mx")))
+        .groupBy("doc_key")
+        .agg(F.sum("_e").alias("z"), F.sum(F.col("_e") * (F.col("score") - F.col("mx"))).alias("es"))
+    )
+    # H = log Z - (1/Z) * sum p_i * logit_i  (logits shifted by max)
+    ent = F.log("z") - F.col("es") / F.col("z")
+    return e.select("doc_key", (-ent).alias("rank_score"))
+
+
+def rank_model_score(pairs_with_scores: DataFrame) -> DataFrame:
+    """Ascending best model score: weakest best-guess docs first."""
+    return pairs_with_scores.groupBy("doc_key").agg(F.max("score").alias("rank_score"))
+
+
+def rank_variance(pairs_with_scores: DataFrame) -> DataFrame:
+    """Descending score variance => rank_score = -variance."""
+    return pairs_with_scores.groupBy("doc_key").agg(
+        (-F.coalesce(F.var_pop("score"), F.lit(0.0))).alias("rank_score")
+    )
+
+
+def rank_margin(pairs_with_scores: DataFrame) -> DataFrame:
+    """Best minus second-best per (doc, root, slot), min over doc."""
+    w = W.partitionBy("doc_key", "root_id", "slot_name").orderBy(F.desc("score"))
+    ranked = pairs_with_scores.withColumn("_rn", F.row_number().over(w)).filter("_rn <= 2")
+    margins = ranked.groupBy("doc_key", "root_id", "slot_name").agg(
+        (F.max("score") - F.min("score")).alias("margin"),
+        F.count("*").alias("n"),
+    )
+    return margins.filter("n = 2").groupBy("doc_key").agg(F.min("margin").alias("rank_score"))
+
+
+def rank_length(instances: DataFrame) -> DataFrame:
+    return instances.select("doc_key", F.length("content").cast("double").alias("rank_score"))
+
+
+def rank_random(instances: DataFrame, seed: int = 100) -> DataFrame:
+    return instances.select(
+        "doc_key", F.xxhash64("doc_key", F.lit(seed)).cast("double").alias("rank_score")
+    )
+
+
+def rank_objective(per_doc_prf: DataFrame) -> DataFrame:
+    """Simulation-only: ascending objective F1 (needs gold); input is the
+    evaluator's per-doc (tp, fp, fn)."""
+    f1 = (2.0 * F.col("tp")) / F.greatest(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1.0))
+    return per_doc_prf.select("doc_key", f1.alias("rank_score"))
+
+
+RANKERS = {
+    "entropy": rank_entropy,
+    "model_score": rank_model_score,
+    "variance": rank_variance,
+    "margin": rank_margin,
+}
+
+
+def pick_batch(ranked: DataFrame, b: int) -> DataFrame:
+    """The AL acquisition step: b smallest rank_scores (ties by doc_key)."""
+    w = W.orderBy(F.asc("rank_score"), F.asc("doc_key"))
+    return ranked.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= b).select("doc_key")
+
+
+def active_learning_rounds(
+    pipeline,
+    instances: DataFrame,
+    gold_triples: DataFrame,
+    seed_frac: float = 0.2,
+    rounds: int = 2,
+    batch: int = 4,
+    ranker: str = "entropy",
+    seed: int = 100,
+) -> list[dict]:
+    """Sequential AL simulation (ActiveLearningDistributor semantics):
+    start from a seeded fraction, each round retrain on the labeled set,
+    rank the unlabeled pool, move the b least-certain docs to labeled.
+    Returns per-round bookkeeping (labeled count, pool count)."""
+    spark = instances.sparkSession
+    all_keys = [r.doc_key for r in instances.select("doc_key").orderBy(
+        F.xxhash64("doc_key", F.lit(seed))).collect()]
+    n_seed = max(1, int(math.ceil(len(all_keys) * seed_frac)))
+    labeled = set(all_keys[:n_seed])
+    history = []
+    for rnd in range(rounds):
+        lab_df = spark.createDataFrame([(k,) for k in sorted(labeled)], ["doc_key"])
+        train_inst = instances.join(lab_df, "doc_key", "left_semi")
+        pipeline.fit(train_inst, gold_triples)
+        pool = instances.join(lab_df, "doc_key", "left_anti")
+        if pool.isEmpty():
+            history.append({"round": rnd, "labeled": len(labeled), "pool": 0})
+            break
+        out = pipeline.predict(pool)
+        scored = out["assignments"]  # carries the model score column
+        ranked = (
+            RANKERS[ranker](scored) if "score" in scored.columns else rank_random(pool, seed)
+        )
+        picked = {r.doc_key for r in pick_batch(ranked, batch).collect()}
+        if not picked:  # ranker had no signal for any pool doc
+            picked = set(r.doc_key for r in pool.select("doc_key").limit(batch).collect())
+        labeled |= picked
+        history.append({"round": rnd, "labeled": len(labeled),
+                        "pool": int(pool.count()), "picked": sorted(picked)})
+    return history

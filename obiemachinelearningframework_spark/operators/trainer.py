@@ -84,37 +84,49 @@ def train_weights(
     sample_w = np.where(y > 0.5, neg / pos, 1.0)  # balance classes
     sample_w = sample_w / sample_w.mean()
 
-    for _ in range(iters):
-        margin = np.zeros(n)
-        np.add.at(margin, rows, vals * w[cols])
+    # EarlyStoppingNoChange semantics (stopcrit/training/EarlyStoppingNoChange
+    # .java:13-49): stop when the objective has not moved > tol for
+    # `patience` epochs, checked only after `min_epochs`
+    min_epochs, patience, tol = 20, 15, 1e-4
+    prev_loss, still = float("inf"), 0
+    for it in range(iters):
+        margin = np.bincount(rows, weights=vals * w[cols], minlength=n)
         p = 1.0 / (1.0 + np.exp(-np.clip(margin, -30, 30)))
         g_row = (p - y) * sample_w / n
-        grad = np.zeros(m)
-        np.add.at(grad, cols, vals * g_row[rows])
+        grad = np.bincount(cols, weights=vals * g_row[rows], minlength=m)
         w -= lr * (grad + l2 * w)
+        loss = float(np.mean(sample_w * (
+            -y * np.log(np.clip(p, 1e-12, 1)) - (1 - y) * np.log(np.clip(1 - p, 1e-12, 1))
+        )))
+        still = still + 1 if abs(prev_loss - loss) <= tol else 0
+        prev_loss = loss
+        if it >= min_epochs and still >= patience:
+            break
 
     # per-slot threshold calibration on the training pairs (sweep the
     # midpoint grid of observed scores, maximize F1)
-    margin = np.zeros(n)
-    np.add.at(margin, rows, vals * w[cols])
+    margin = np.bincount(rows, weights=vals * w[cols], minlength=n)
     slots = lab.slot_name.to_numpy()
     th_rows = []
     for slot in np.unique(slots):
         mask = slots == slot
         s, t = margin[mask], y[mask]
-        order = np.argsort(s)
-        s_sorted, t_sorted = s[order], t[order]
-        cand_th = np.concatenate([[s_sorted[0] - 1.0], (s_sorted[1:] + s_sorted[:-1]) / 2.0])
-        best_th, best_f1 = 0.0, -1.0
+        # vectorized F1 sweep: predicting the top-k by score for every k,
+        # tp/fp/fn follow from the cumulative label sum — O(n log n)
+        order = np.argsort(-s, kind="stable")
+        s_desc, t_desc = s[order], t[order]
         total_pos = t.sum()
-        for th in np.unique(cand_th):
-            pred = s > th
-            tp = float((pred & (t > 0.5)).sum())
-            fp = float((pred & (t <= 0.5)).sum())
-            fn = float(total_pos - tp)
-            f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
-            if f1 > best_f1:
-                best_f1, best_th = f1, float(th)
+        cum_tp = np.cumsum(t_desc)
+        k = np.arange(1, len(s_desc) + 1)
+        denom = 2 * cum_tp + (k - cum_tp) + (total_pos - cum_tp)
+        f1s = np.where(cum_tp > 0, 2 * cum_tp / np.maximum(denom, 1.0), 0.0)
+        best_k = int(np.argmax(f1s)) + 1
+        if f1s[best_k - 1] <= 0.0:
+            best_th = float(s_desc[0]) + 1.0  # predict nothing
+        elif best_k < len(s_desc):
+            best_th = float((s_desc[best_k - 1] + s_desc[best_k]) / 2.0)
+        else:
+            best_th = float(s_desc[-1]) - 1.0  # predict everything
         th_rows.append((f"{THRESHOLD_PREFIX}[{slot}]", best_th))
 
     out = pd.DataFrame({"feature": fnames, "weight": w})

@@ -65,7 +65,7 @@ class OBIEPipeline:
         mentions = self.mentions(inst).cache()
         roots, candidates = self.roots_and_candidates(mentions)
         pairs = build_pairs(roots, candidates, inst).cache()
-        feats = compute_features(pairs)
+        feats = compute_features(pairs, self.ontology)
         labels = label_pairs(pairs, gold_triples)
         self.weights = train_weights(feats, labels)
         self.thresholds = thresholds_from_weights(self.weights)
@@ -75,25 +75,40 @@ class OBIEPipeline:
 
     # --------------------------------------------------------------- predict
 
-    def predict(self, instances: DataFrame) -> dict:
+    def predict(self, instances: DataFrame, alias_edges: DataFrame | None = None) -> dict:
         assert self.weights is not None, "fit() or load_weights() first"
         w_df = model_weights_df(self.spark, self.weights)
-        mentions = self.mentions(instances)
+        # cache each fan-out point: roots/candidates both read mentions, and
+        # pairs reads both — without caching the mention UDF chain re-runs
+        # once per downstream branch
+        mentions = self.mentions(instances).cache()
         roots, candidates = self.roots_and_candidates(mentions)
-        pairs = scored_pairs(roots, candidates, instances, w_df)
-        assignments = greedy_fill(pairs, self.ontology, self.thresholds)
-        triples = materialize_triples(assignments)
+        roots = roots.cache()
+        candidates = candidates.cache()
+        pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology)
+        # cache the fixpoints: canonicalization below runs iterative actions
+        # and must not recompute the scoring chain per iteration
+        assignments = greedy_fill(pairs, self.ontology, self.thresholds).cache()
+        triples = materialize_triples(assignments).cache()
         # cross-doc canonicalization: entity ids from dictionary grounding
-        # are already canonical, so identity components; alias edges (e.g.
-        # from fuzzy linking of surface variants) merge further.
+        # and fuzzy linking are already canonical individual ids (the
+        # similarity join in operators/linking.py maps every surface variant
+        # onto its dictionary entry BEFORE candidates are built), so the
+        # entity graph here has only identity self-edges and connected
+        # components is the identity map — skip the iterative loop. Supply
+        # alias_edges to merge entities discovered equal by other evidence;
+        # the CC operator itself is exercised directly in tests.
         from ..operators.canonicalize import (
             canonicalization_edges,
             canonicalize_triples,
             connected_components,
         )
 
-        comps = connected_components(canonicalization_edges(triples))
-        triples = canonicalize_triples(triples, comps)
+        if alias_edges is not None:
+            comps = connected_components(canonicalization_edges(triples, alias_edges))
+            triples = canonicalize_triples(triples, comps)
+        else:
+            triples = triples.dropDuplicates(["doc_key", "subj", "pred", "obj"])
         return {
             "mentions": mentions,
             "roots": roots,
@@ -105,7 +120,7 @@ class OBIEPipeline:
     # ----------------------------------------------------------- model (de)ser
 
     def save_weights(self, path: str) -> None:
-        self.weights.to_json(path, orient="records", lines=True)
+        self.weights.to_json(path, orient="records", lines=True, double_precision=15)
 
     def load_weights(self, path: str) -> "OBIEPipeline":
         self.weights = pd.read_json(path, orient="records", lines=True)

@@ -423,6 +423,53 @@ ORACLES.update({
 })
 
 
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (letters runs /
+    digit runs / single punctuation) next to the whitespace count — the
+    token-budget stage of a training-data pipeline."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS bpe_tokens
+  FROM documents
+"""
+
+QUERIES["token_count_bpe"] = q_token_count_bpe
+ORACLES["token_count_bpe"] = SQL_TOKEN_COUNT_BPE
+
+
+def q_multimodal_image_stats(spark, sf_dir):
+    """Multimodal plumbing entry (no SQL oracle — mapInPandas decode is not
+    SQL-expressible): derive a deterministic image asset per document,
+    decode, extract features, and aggregate brightness stats per 16-bucket
+    asset_id band. Exercises binary columns end-to-end on the driver gate."""
+    from .multimodal import assets_from_documents, decode_images, image_features
+
+    assets = assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = image_features(decode_images(assets))
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
+QUERIES["multimodal_image_stats"] = q_multimodal_image_stats  # rows-only check
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):

@@ -21,7 +21,7 @@ def ctx(spark):
     pipe.fit(inst, spark.createDataFrame(c["gold_triples"]), spark.createDataFrame(c["splits"]))
     mentions = pipe.mentions(inst)
     roots, cands = pipe.roots_and_candidates(mentions)
-    pairs = scored_pairs(roots, cands, inst, model_weights_df(spark, pipe.weights)).cache()
+    pairs = scored_pairs(roots, cands, inst, model_weights_df(spark, pipe.weights), c["ontology"]).cache()
     return {"spark": spark, "corpus": c, "pipe": pipe, "pairs": pairs}
 
 

@@ -1,0 +1,112 @@
+"""Multimodal binary-column plumbing: decode / resize / features /
+frame-sample / audio stats, all Arrow-batched mapInPandas stages."""
+
+import numpy as np
+import pytest
+
+from obiemachinelearningframework_spark.multimodal import (
+    assets_from_documents,
+    audio_features,
+    decode_images,
+    frame_sample,
+    image_features,
+    resize_images,
+    synthesize_assets,
+)
+from obiemachinelearningframework_spark.multimodal.assets import encode_raw_image
+from obiemachinelearningframework_spark.multimodal.decode import DECODERS, _decode_raw_image
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    df = synthesize_assets(spark, n=48, seed=7).cache()
+    df.count()
+    return df
+
+
+def test_synthesis_deterministic_and_partitioned(spark, assets):
+    again = synthesize_assets(spark, n=48, seed=7)
+    a = sorted((r.asset_id, bytes(r.payload)) for r in assets.collect())
+    b = sorted((r.asset_id, bytes(r.payload)) for r in again.collect())
+    assert a == b
+    counts = {r.kind: r.n for r in assets.groupBy("kind").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"image", "audio", "video"} and sum(counts.values()) == 48
+    # payloads are generated on executors across partitions, not on the driver
+    assert assets.rdd.getNumPartitions() == 8
+
+
+def test_decode_images_roundtrip(assets):
+    dec = decode_images(assets)
+    rows = dec.collect()
+    assert len(rows) == 16
+    r = next(x for x in rows if x.asset_id == 0)
+    assert (r.width, r.height, r.channels) == (16, 12, 3)
+    expected = _decode_raw_image(encode_raw_image(0, 7))
+    assert bytes(r.pixels) == expected.tobytes()
+
+
+def test_resize_nearest_neighbor(assets):
+    dec = decode_images(assets)
+    res = resize_images(dec, out_w=4, out_h=3)
+    r = next(x for x in res.collect() if x.asset_id == 0)
+    assert (r.width, r.height, r.channels) == (4, 3, 3)
+    arr = _decode_raw_image(encode_raw_image(0, 7))
+    ys = (np.arange(3) * 12 // 3)
+    xs = (np.arange(4) * 16 // 4)
+    assert bytes(r.pixels) == arr[ys][:, xs].tobytes()
+
+
+def test_image_features_match_numpy(assets):
+    feats = image_features(decode_images(assets))
+    r = next(x for x in feats.collect() if x.asset_id == 0)
+    arr = _decode_raw_image(encode_raw_image(0, 7)).astype(np.float64)
+    assert r.mean_rgb == pytest.approx(list(arr.mean(axis=(0, 1))), abs=1e-5)
+    assert r.brightness == pytest.approx(arr.mean(axis=2).mean(), abs=1e-5)
+    assert len(r.phash) == 16 and int(r.phash, 16) >= 0
+
+
+def test_frame_sample_every_k(assets):
+    frames = frame_sample(assets, every_k=4)
+    per = frames.groupBy("asset_id").count().collect()
+    assert per and all(r["count"] == 3 for r in per)  # 12 frames / every 4
+    idx = sorted(r.frame_idx for r in frames.filter("asset_id = 2").collect())
+    assert idx == [0, 4, 8]
+
+
+def test_audio_features_sane(assets):
+    rows = audio_features(assets).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.sample_rate == 8000
+        assert r.duration_ms == pytest.approx(400 / 8000 * 1000, abs=1e-6)
+        assert 0.0 < r.rms < 1.0
+        assert 0.0 <= r.zero_crossing_rate <= 1.0
+
+
+def test_unimplemented_codec_raises_clearly(spark):
+    df = synthesize_assets(spark, n=3, seed=7)
+    import pyspark.sql.functions as F
+
+    bad = df.filter("kind = 'image'").withColumn(
+        "meta",
+        F.named_struct(
+            F.lit("width"), F.col("meta.width"),
+            F.lit("height"), F.col("meta.height"),
+            F.lit("channels"), F.col("meta.channels"),
+            F.lit("sample_rate"), F.col("meta.sample_rate"),
+            F.lit("n_samples"), F.col("meta.n_samples"),
+            F.lit("n_frames"), F.col("meta.n_frames"),
+            F.lit("codec"), F.lit("jpeg"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
+        decode_images(bad).collect()
+
+
+def test_assets_from_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = assets_from_documents(docs, seed=7)
+    assert a.count() == docs.count()
+    r = a.filter("asset_id = 1").collect()[0]
+    assert bytes(r.payload) == encode_raw_image(1, 7)
+    assert "raw-img" in DECODERS
