@@ -56,7 +56,10 @@ def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS):
     c = generate_corpus("soccer", n_docs=n_docs, seed=42)
     pipe = OBIEPipeline(spark, c["ontology"])
     cpus = spark.sparkContext.defaultParallelism
-    inst = pipe.prepare(spark.createDataFrame(c["source"]).repartition(cpus)).cache()
+    # cluster the instance table by doc_key at the source — the whole
+    # extraction plan keys on doc_key prefixes, so this is the only
+    # corpus-sized exchange the job ever does
+    inst = pipe.prepare(spark.createDataFrame(c["source"])).repartition(cpus, "doc_key").cache()
     inst.count()
     gold = spark.createDataFrame(c["gold_triples"])
     train_keys = (

@@ -130,7 +130,11 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
             parts.append(_aux_candidates(mentions, ontology, s))
         elif (ontology.individuals.class_id.isin(desc)).any():
             m = base.filter((F.col("kind") == "individual") & F.col("class_id").isin(desc))
-            m = m.dropDuplicates(["doc_key", "individual_id", "onset"])
+            # deterministic representative per (doc, individual, onset):
+            # shortest span first (dropDuplicates picks an arbitrary row,
+            # which the fused kernel could not reproduce)
+            w = W.partitionBy("doc_key", "individual_id", "onset").orderBy("offset")
+            m = m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
             parts.append(
                 m.select(
                     "doc_key",
@@ -147,7 +151,8 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
         else:
             proper = [d for d in desc if d != rng]
             m = base.filter((F.col("kind") == "class") & F.col("class_id").isin(proper))
-            m = m.dropDuplicates(["doc_key", "class_id", "onset"])
+            w = W.partitionBy("doc_key", "class_id", "onset").orderBy("offset")
+            m = m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
             parts.append(
                 m.select(
                     "doc_key",
@@ -195,8 +200,12 @@ def _aux_candidates(mentions: DataFrame, ontology, slot_row) -> DataFrame:
                 F.col("offset").alias(f"off_{cs.slot_name}"),
                 F.col("text").alias(f"t_{cs.slot_name}"),
             )
-            .dropDuplicates(["doc_key", "sent_idx", f"v_{cs.slot_name}"])
         )
+        # deterministic earliest occurrence per (doc, sentence, value)
+        w = W.partitionBy("doc_key", "sent_idx", f"v_{cs.slot_name}").orderBy(
+            f"on_{cs.slot_name}", f"off_{cs.slot_name}"
+        )
+        m = m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
         joined = m if joined is None else joined.join(m, ["doc_key", "sent_idx"])
         child_names.append(cs.slot_name)
 

@@ -38,9 +38,18 @@ CTX_CHARS = 40
 
 
 def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -> DataFrame:
-    """(root x candidate) join within document + content for text features.
-    This is the beam-expansion join of SlotFillerExplorer re-expressed as
-    one relational join; shuffle key = doc_key on both sides."""
+    """(root x candidate) join within document + context slices for text
+    features. This is the beam-expansion join of SlotFillerExplorer
+    re-expressed as one relational join; all keys are doc_key-prefixed, so
+    inputs clustered by doc_key flow through with no exchange.
+
+    ``content`` is consumed HERE and immediately replaced by the three
+    bounded context slices the feature templates need (left/right ±40
+    chars, in-between <= 240 chars). The pair table multiplies rows by
+    (roots x candidates) per doc — carrying the full document text through
+    that multiplication, the downstream window sorts, and the feature
+    explode would multiply corpus bytes ~50x; the slices cap the per-row
+    payload at ~320 bytes regardless of document size."""
     r = roots.select(
         "doc_key",
         "root_id",
@@ -54,6 +63,17 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     pairs = r.join(candidates, "doc_key").join(
         instances.select("doc_key", "content"), "doc_key"
     )
+    gap = F.col("onset") - F.col("root_offset")
+    ib_cond = (F.col("onset") > F.col("root_onset")) & (gap > 0) & (gap <= IB_MAX_CHARS)
+    pairs = pairs.withColumn(
+        "_l_raw",
+        F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS}), least(onset - 1, {CTX_CHARS}))"),
+    ).withColumn(
+        "_r_raw", F.expr(f"substring(content, offset + 1, {CTX_CHARS})")
+    ).withColumn(
+        "_ib_raw",
+        F.when(ib_cond, F.expr("substring(content, root_offset + 1, onset - root_offset)")),
+    ).drop("content")
     # discourse association: is this root the nearest one (by char distance)
     # to the candidate mention? The batched form of the reference's
     # discourse-progression pruning (SlotFillerExplorer.java:203-218).
@@ -127,21 +147,15 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         .withColumn("_n_roots", F.size(F.collect_set("root_id").over(w_doc)))
     )
 
-    # token-array families
-    gap = F.col("onset") - F.col("root_offset")
-    ib_cond = after_root & (gap > 0) & (gap <= IB_MAX_CHARS)
+    # token-array families (from the bounded context slices build_pairs
+    # projected out of content — _l_raw/_r_raw/_ib_raw)
     ib_toks = F.slice(
-        F.filter(
-            F.split(F.lower(F.expr("substring(content, root_offset + 1, onset - root_offset)")), r"\W+"),
-            lambda t: F.length(t) >= 2,
-        ),
+        F.filter(F.split(F.lower("_ib_raw"), r"\W+"), lambda t: F.length(t) >= 2),
         1,
         IB_MAX_TOKENS,
     )
-    left_raw = F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS}), least(onset - 1, {CTX_CHARS}))")
-    right_raw = F.expr(f"substring(content, offset + 1, {CTX_CHARS})")
-    ltoks = F.reverse(F.filter(F.split(F.lower(left_raw), r"\W+"), lambda t: F.length(t) >= 1))
-    rtoks = F.filter(F.split(F.lower(right_raw), r"\W+"), lambda t: F.length(t) >= 1)
+    ltoks = F.reverse(F.filter(F.split(F.lower("_l_raw"), r"\W+"), lambda t: F.length(t) >= 1))
+    rtoks = F.filter(F.split(F.lower("_r_raw"), r"\W+"), lambda t: F.length(t) >= 1)
     bow_toks = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: F.length(t) >= 1)
     mt = F.concat(F.lit("#"), F.lower("text"), F.lit("#"))
     c3_grams = F.transform(
@@ -149,7 +163,7 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         lambda i: mt.substr(i, F.lit(3)),
     )
     p = (
-        p.withColumn("_ib", F.when(ib_cond, ib_toks))
+        p.withColumn("_ib", F.when(F.col("_ib_raw").isNotNull(), ib_toks))
         .withColumn("_lt", ltoks)
         .withColumn("_rt", rtoks)
         .withColumn("_bow", bow_toks)
@@ -247,17 +261,23 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         _tok_feats(F.col("_c3"), "c3g"),
     )
     return (
-        p.select("pair_id", F.explode(all_feats).alias("f"))
-        .select("pair_id", F.col("f.feature").alias("feature"), F.col("f.value").alias("value"))
+        p.select("doc_key", "pair_id", F.explode(all_feats).alias("f"))
+        .select(
+            "doc_key", "pair_id",
+            F.col("f.feature").alias("feature"), F.col("f.value").alias("value"),
+        )
     )
 
 
 def score_pairs(features: DataFrame, weights: DataFrame) -> DataFrame:
     """Linear model score per pair: broadcast-join the (feature, weight)
     table, partial-aggregate the dot product (OBIEScorer.java:94-108 —
-    our link is the raw margin; exp() is monotone so argmax is identical)."""
+    our link is the raw margin; exp() is monotone so argmax is identical).
+    Grouping on (doc_key, pair_id) rather than pair_id alone keeps the
+    aggregation inside the doc_key clustering — map-side only, no exchange
+    of the exploded feature table."""
     return (
         features.join(F.broadcast(weights), "feature", "inner")
-        .groupBy("pair_id")
+        .groupBy("doc_key", "pair_id")
         .agg(F.sum(F.col("value") * F.col("weight")).alias("score"))
     )

@@ -34,7 +34,9 @@ def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
     pairs = build_pairs(roots, candidates, instances).cache()
     feats = compute_features(pairs, ontology)
     scores = score_pairs(feats, weights_df)
-    return pairs.join(scores, "pair_id", "left").fillna({"score": 0.0})
+    # join back on (doc_key, pair_id): both sides carry the doc_key
+    # clustering, so this is a co-partitioned join — no exchange
+    return pairs.join(scores, ["doc_key", "pair_id"], "left").fillna({"score": 0.0})
 
 
 def greedy_fill(pairs_with_scores: DataFrame, ontology, thresholds: dict) -> DataFrame:

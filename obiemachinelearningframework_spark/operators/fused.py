@@ -1,0 +1,623 @@
+"""Fused extraction kernel: the whole per-document inference in ONE map stage.
+
+The OBIE prediction path (mentions -> roots -> candidates -> features ->
+score -> greedy fill -> triples) is per-document decomposable: every join,
+window and aggregate in the relational plan keys on a doc_key prefix, and
+the model (weights + thresholds + ontology + fuzzy link map) is a small
+broadcast. The reference itself runs this as a per-document sampler loop
+(``run/AbstractOBIERunner.java:455-462``). This operator exploits that:
+one ``mapInPandas`` pass over the instance table emits finished triples.
+
+Why it exists next to the relational path (``plans/pipeline.py:predict``):
+at cluster scale the relational plan is exchange-free but still pays a
+fixed cost per stage (scheduling, broadcast construction, AQE planning)
+that the fused kernel does not — extraction becomes a *map-only* job whose
+throughput scales linearly with executors until the source scan saturates.
+The only global coordination is the vocabulary-sized fuzzy link map,
+built once from a cheap capitalized-token scan. The relational path stays
+the composable implementation (and the one checked query-by-query against
+the DuckDB oracles); ``tests/test_fused_parity.py`` asserts the two paths
+emit EXACTLY the same triple set on both fixture domains.
+
+Semantics mirrored line-by-line from:
+* mentions: ``operators/mentions.py:match_document`` (shared code)
+* roots: ``operators/candidates.py:propose_roots``
+* candidates: ``operators/candidates.py:generate_candidates``
+* features: ``operators/features.py:compute_features`` (the fused
+  array-of-structs projection, incl. slice semantics of build_pairs)
+* fill: ``operators/filler.py:greedy_fill``
+* triples: ``operators/triples.py:materialize_triples``
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.patterns import compile_pattern_table
+from .features import CTX_CHARS, IB_MAX_CHARS, IB_MAX_TOKENS
+from .mentions import UNKNOWN_KIND, compile_patterns, match_document
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_key", T.StringType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+    ]
+)
+
+AUX_SEP = "::"
+_NONWORD = re.compile(r"\W+", re.ASCII)  # Spark's java \W is ASCII
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def ontology_spec(ontology) -> dict:
+    """Distill the broadcast ontology tables into plain-python lookup
+    structures for the kernel (mirrors the branch selection of
+    ``generate_candidates`` exactly)."""
+    root_cls = ontology.root_class_id
+    classes = ontology.classes.set_index("class_id")
+    slots = ontology.slots[ontology.slots.owner_class_id == root_cls]
+    ind_classes = set(ontology.individuals.class_id)
+
+    slot_specs = []
+    for s in slots.itertuples():
+        rng = s.range_class_id
+        desc = ontology.subclasses_of(rng)
+        spec = {
+            "slot_name": s.slot_name,
+            "range": rng,
+            "desc": set(desc),
+            "card": int(s.max_cardinality) if s.is_list else 1,
+        }
+        if bool(classes.loc[rng].is_datatype):
+            spec["kind"] = "dt"
+        elif bool(classes.loc[rng].is_auxiliary):
+            spec["kind"] = "aux"
+            child_slots = ontology.slots[
+                ontology.slots.owner_class_id == rng
+            ].sort_values("slot_name")
+            spec["children"] = [
+                {
+                    "slot_name": cs.slot_name,
+                    "desc": set(ontology.subclasses_of(cs.range_class_id)),
+                }
+                for cs in child_slots.itertuples()
+            ]
+        elif any(c in ind_classes for c in desc):
+            spec["kind"] = "ind"
+        else:
+            spec["kind"] = "cls"
+            spec["proper"] = set(d for d in desc if d != rng)
+        slot_specs.append(spec)
+
+    has_individuals = (ontology.individuals.class_id == root_cls).any()
+    if has_individuals:
+        anchor_classes = set(ontology.subclasses_of(root_cls))
+        anchored = True
+    else:
+        anchor_slot = ontology.slot_order[0]
+        srow = ontology.slots[ontology.slots.slot_name == anchor_slot].iloc[0]
+        anchor_classes = set(ontology.subclasses_of(srow.range_class_id))
+        anchored = False
+
+    return {
+        "root_cls": root_cls,
+        "anchored": anchored,
+        "anchor_classes": anchor_classes,
+        "slots": slot_specs,
+        "class_depth": {c: int(d) for c, d in ontology.class_depth.items()},
+    }
+
+
+# ------------------------------------------------------------------ stages
+
+
+def _doc_mentions(content, compiled, min_len, link_map):
+    """Mentions incl. fuzzy-linked unknown tokens, deduped on
+    (kind, type_id, onset, offset) — detect_mentions + apply_link_map."""
+    rows, unknowns = match_document(content, compiled, min_len, want_unknown=True)
+    for text, on, off, sent in unknowns:
+        link = link_map.get(text.lower())
+        if link is not None:
+            type_id, class_id = link
+            rows.append(
+                ("individual", type_id, class_id, type_id, False, text, on, off, sent, None)
+            )
+    seen, out = set(), []
+    for r in rows:
+        key = (r[0], r[1], r[6], r[7])
+        if key not in seen:
+            seen.add(key)
+            out.append(
+                {
+                    "kind": r[0], "type_id": r[1], "class_id": r[2],
+                    "individual_id": r[3], "is_datatype": r[4], "text": r[5],
+                    "onset": r[6], "offset": r[7], "sent_idx": r[8], "dt_value": r[9],
+                }
+            )
+    return out
+
+
+def _doc_roots(mentions, spec, doc_key):
+    """propose_roots per document (candidates.py:47-96): anchor-individual
+    mentions, containment suppression, earliest onset per individual,
+    next_root_onset by discourse order."""
+    m = [
+        x for x in mentions
+        if x["kind"] == "individual" and x["class_id"] in spec["anchor_classes"]
+    ]
+    # longest-match-wins containment suppression
+    kept = []
+    for a in m:
+        contained = any(
+            b["onset"] <= a["onset"]
+            and a["offset"] <= b["offset"]
+            and (b["offset"] - b["onset"]) > (a["offset"] - a["onset"])
+            for b in m
+        )
+        if not contained:
+            kept.append(a)
+    first = {}
+    for x in kept:
+        cur = first.get(x["individual_id"])
+        if cur is None or x["onset"] < cur["onset"]:
+            first[x["individual_id"]] = x
+    roots = []
+    for ind, x in first.items():
+        root_id = (
+            ind
+            if spec["anchored"]
+            else AUX_SEP.join([spec["root_cls"].lower(), doc_key, ind])
+        )
+        roots.append(
+            {
+                "root_id": root_id,
+                "root_class_id": spec["root_cls"],
+                "anchor_individual_id": ind,
+                "onset": x["onset"],
+                "offset": x["offset"],
+                "sent_idx": x["sent_idx"],
+            }
+        )
+    roots.sort(key=lambda r: (r["onset"], r["root_id"]))
+    for i, r in enumerate(roots):
+        r["next_root_onset"] = roots[i + 1]["onset"] if i + 1 < len(roots) else None
+    return roots
+
+
+def _doc_candidates(mentions, spec):
+    """generate_candidates per document (candidates.py:99-223)."""
+    cands = []
+    for s in spec["slots"]:
+        name, kind = s["slot_name"], s["kind"]
+        if kind == "dt":
+            best = {}
+            for x in mentions:
+                if x["class_id"] in s["desc"] and x["dt_value"] is not None:
+                    k = (x["class_id"], x["dt_value"])
+                    cur = best.get(k)
+                    if cur is None or (x["onset"], x["offset"]) < (cur["onset"], cur["offset"]):
+                        best[k] = x
+            for (cls, dtv), x in best.items():
+                cands.append(
+                    {
+                        "slot_name": name, "slot_kind": "dt", "class_id": cls,
+                        "individual_id": None, "dt_value": dtv, "obj_id": dtv,
+                        "text": x["text"], "onset": x["onset"], "offset": x["offset"],
+                        "sent_idx": x["sent_idx"], "aux_values": {},
+                    }
+                )
+        elif kind == "aux":
+            # same-sentence pairing of the aux class's datatype-slot
+            # mentions: per child slot, distinct (sent, value) earliest
+            # occurrence; inner join across children within a sentence
+            per_child = []
+            for ch in s["children"]:
+                by_sent = {}
+                for x in mentions:
+                    if x["class_id"] in ch["desc"] and x["dt_value"] is not None:
+                        k = (x["sent_idx"], x["dt_value"])
+                        cur = by_sent.get(k)
+                        if cur is None or (x["onset"], x["offset"]) < (cur["onset"], cur["offset"]):
+                            by_sent[k] = x
+                per_child.append(by_sent)
+            sents = set(k[0] for k in per_child[0]) if per_child else set()
+            for bs in per_child[1:]:
+                sents &= set(k[0] for k in bs)
+            combos_out = {}
+            for sent in sorted(sents):
+                vals_lists = [
+                    sorted(
+                        [(k[1], x) for k, x in bs.items() if k[0] == sent],
+                        key=lambda kv: kv[0],
+                    )
+                    for bs in per_child
+                ]
+                import itertools
+
+                for combo in itertools.product(*vals_lists):
+                    child_vals = [v for v, _ in combo]
+                    xs = [x for _, x in combo]
+                    obj_id = AUX_SEP.join([s["range"].lower()] + child_vals)
+                    key = (obj_id, sent)
+                    if key in combos_out:
+                        continue
+                    combos_out[key] = {
+                        "slot_name": name, "slot_kind": "aux", "class_id": s["range"],
+                        "individual_id": None, "dt_value": None, "obj_id": obj_id,
+                        "text": xs[0]["text"],
+                        "onset": min(x["onset"] for x in xs),
+                        "offset": max(x["offset"] for x in xs),
+                        "sent_idx": sent,
+                        "aux_values": dict(
+                            zip([c["slot_name"] for c in s["children"]], child_vals)
+                        ),
+                    }
+            cands.extend(combos_out.values())
+        elif kind == "ind":
+            best = {}
+            for x in mentions:
+                if x["kind"] == "individual" and x["class_id"] in s["desc"]:
+                    k = (x["individual_id"], x["onset"])
+                    cur = best.get(k)
+                    if cur is None or x["offset"] < cur["offset"]:
+                        best[k] = x
+            for (ind, on), x in best.items():
+                cands.append(
+                    {
+                        "slot_name": name, "slot_kind": "ind", "class_id": x["class_id"],
+                        "individual_id": ind, "dt_value": None, "obj_id": ind,
+                        "text": x["text"], "onset": on, "offset": x["offset"],
+                        "sent_idx": x["sent_idx"], "aux_values": {},
+                    }
+                )
+        else:  # cls
+            best = {}
+            for x in mentions:
+                if x["kind"] == "class" and x["class_id"] in s["proper"]:
+                    k = (x["class_id"], x["onset"])
+                    cur = best.get(k)
+                    if cur is None or x["offset"] < cur["offset"]:
+                        best[k] = x
+            for (cls, on), x in best.items():
+                cands.append(
+                    {
+                        "slot_name": name, "slot_kind": "cls", "class_id": cls,
+                        "individual_id": None, "dt_value": None, "obj_id": cls,
+                        "text": x["text"], "onset": on, "offset": x["offset"],
+                        "sent_idx": x["sent_idx"], "aux_values": {},
+                    }
+                )
+    return cands
+
+
+def _toks(s, min_chars):
+    return [t for t in _NONWORD.split(s.lower()) if len(t) >= min_chars]
+
+
+def _pair_features(r, c, content, stats, spec, kb):
+    """The fused feature projection of features.py:compute_features for one
+    (root, candidate) pair; yields (feature, value)."""
+    slot = c["slot_name"]
+    onset, offset = c["onset"], c["offset"]
+    yield f"bias[{slot}]", 1.0
+    sent_dist = c["sent_idx"] - r["sent_idx"]
+    if sent_dist < 0:
+        b = "neg"
+    elif sent_dist <= 3:
+        b = str(sent_dist)
+    else:
+        b = "ge4"
+    yield f"dist[{slot}]={b}", 1.0
+    after_root = onset > r["onset"]
+    before_next = r["next_root_onset"] is None or onset < r["next_root_onset"]
+    nearest = stats["nearest"].get((slot, onset, c["obj_id"])) == r["root_id"]
+    if after_root:
+        yield f"after_root[{slot}]", 1.0
+    if before_next:
+        yield f"before_next[{slot}]", 1.0
+    if after_root and before_next:
+        yield f"in_block[{slot}]", 1.0
+    if nearest:
+        yield f"nearest_root[{slot}]", 1.0
+    if after_root and before_next and nearest:
+        yield f"in_block_nearest[{slot}]", 1.0
+    cls = c["class_id"] if c["class_id"] is not None else "null"
+    yield f"filler[{slot}]={cls}", 1.0
+    # TokenContextTemplate ±2 window over the bounded slices
+    left_raw = content[max(0, onset - CTX_CHARS - 1) : max(0, onset - 1)]
+    right_raw = content[offset : offset + CTX_CHARS]
+    lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
+    rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
+    for nm, arr, idx in (("ctx_l1", lt, 0), ("ctx_l2", lt, 1), ("ctx_r1", rt, 0), ("ctx_r2", rt, 1)):
+        if idx < len(arr) and arr[idx] != "":
+            yield f"{nm}[{slot}]={arr[idx]}", 1.0
+    # FrequencyTemplate has-max-evidence
+    n_ev = stats["n_ev"][(slot, c["obj_id"])]
+    if n_ev == stats["mx_ev"][slot]:
+        yield f"max_evidence[{slot}]", 1.0
+    # StringSimilarityTemplate bins
+    if c["slot_kind"] == "cls":
+        text, cid = c["text"], c["class_id"]
+        sim = 1.0 - _levenshtein(text.lower(), cid.lower()) / max(len(text), len(cid))
+        for bnd in (0.5, 0.7, 0.9):
+            if sim >= bnd:
+                yield f"strsim>={bnd}[{slot}]", 1.0
+    yield f"cooc[{r['root_class_id']}+{slot}]={cls}", 1.0
+    yield f"n_roots[{slot}]={min(stats['n_roots'], 6)}", 1.0
+    het = "eq1" if stats["n_pairing"][(slot, c["obj_id"])] == 1 else "ne1"
+    yield f"het[{slot}]={het}", 1.0
+    depth = spec["class_depth"].get(c["class_id"])
+    if depth is not None:
+        yield f"hier[{slot}]={depth}", 1.0
+    if kb is not None and (slot, c["obj_id"]) in kb:
+        yield f"kb[{slot}]", 1.0
+    # in-between tokens (unit total mass)
+    gap = onset - r["offset"]
+    if after_root and 0 < gap <= IB_MAX_CHARS:
+        ib = _toks(content[r["offset"] : onset], 2)[:IB_MAX_TOKENS]
+        if ib:
+            w = 1.0 / len(ib)
+            for t in ib:
+                yield f"ib[{slot}]={t}", w
+    # BOW over the mention surface
+    bow = [t for t in _NONWORD.split(c["text"].lower()) if t]
+    if bow:
+        w = 1.0 / len(bow)
+        for t in bow:
+            yield f"bow[{slot}]={t}", w
+    # char 3-grams over #surface#
+    mt = "#" + c["text"].lower() + "#"
+    if len(mt) >= 3:
+        grams = [mt[i : i + 3] for i in range(len(mt) - 2)]
+    else:
+        grams = [mt[0:3]]
+    w = 1.0 / len(grams)
+    for g in grams:
+        yield f"c3g[{slot}]={g}", w
+
+
+def _doc_stats(roots, cands):
+    """The window statistics of compute_features (w_obj / w_slot / w_doc /
+    w_near) for one document's (roots x candidates) pair table."""
+    n_roots = len(set(r["root_id"] for r in roots))
+    n_ev, n_pairing, mx_ev, nearest = {}, {}, {}, {}
+    occ = {}
+    for c in cands:
+        k = (c["slot_name"], c["obj_id"])
+        occ[k] = occ.get(k, 0) + 1
+    for k, n in occ.items():
+        n_ev[k] = n * len(roots)
+        n_pairing[k] = n_roots
+    for (slot, obj), n in n_ev.items():
+        mx_ev[slot] = max(mx_ev.get(slot, 0), n)
+    for c in cands:
+        key = (c["slot_name"], c["onset"], c["obj_id"])
+        if key in nearest:
+            continue
+        best = min(roots, key=lambda r: (abs(c["onset"] - r["onset"]), r["root_id"]))
+        nearest[key] = best["root_id"]
+    return {
+        "n_roots": n_roots, "n_ev": n_ev, "n_pairing": n_pairing,
+        "mx_ev": mx_ev, "nearest": nearest,
+    }
+
+
+def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb):
+    """Score every pair, then greedy_fill per (root, slot): best occurrence
+    per distinct obj, rank distinct objs, accept top-card above threshold
+    (filler.py:40-66). Returns accepted assignment dicts."""
+    card = {s["slot_name"]: s["card"] for s in spec["slots"]}
+    accepted = []
+    for r in roots:
+        per_slot = {}
+        for c in cands:
+            score = 0.0
+            for f, v in _pair_features(r, c, content, stats, spec, kb):
+                w = weights.get(f)
+                if w is not None:
+                    score += w * v
+            per_slot.setdefault(c["slot_name"], []).append((score, c))
+        for slot, rows in per_slot.items():
+            by_obj = {}
+            for score, c in rows:
+                cur = by_obj.get(c["obj_id"])
+                # w_obj: orderBy(score desc, onset asc) rank 1
+                if cur is None or (-score, c["onset"]) < (-cur[0], cur[1]["onset"]):
+                    by_obj[c["obj_id"]] = (score, c)
+            ranked = sorted(
+                by_obj.values(), key=lambda sc: (-sc[0], sc[1]["onset"], sc[1]["obj_id"])
+            )
+            th = thresholds.get(slot, 0.0)
+            for score, c in ranked[: card.get(slot, 1)]:
+                if score > th:
+                    accepted.append({"root": r, "cand": c, "score": score})
+    return accepted
+
+
+def _doc_triples(doc_key, accepted):
+    """materialize_triples per document (triples.py:23-37)."""
+    out, seen = [], set()
+
+    def emit(s, p, o):
+        k = (s, p, o)
+        if k not in seen:
+            seen.add(k)
+            out.append((doc_key, s, p, o))
+
+    for a in accepted:
+        emit(a["root"]["root_id"], a["cand"]["slot_name"], a["cand"]["obj_id"])
+        if a["cand"]["slot_kind"] == "aux":
+            for p, o in a["cand"]["aux_values"].items():
+                emit(a["cand"]["obj_id"], p, o)
+    return out
+
+
+def extract_document(doc_key, content, compiled, link_map, spec, weights, thresholds,
+                     min_len=2, kb=None):
+    """content -> [(doc_key, subj, pred, obj)] — the full fused inference."""
+    mentions = _doc_mentions(content, compiled, min_len, link_map)
+    roots = _doc_roots(mentions, spec, doc_key)
+    if not roots:
+        return []
+    cands = _doc_candidates(mentions, spec)
+    if not cands:
+        return []
+    stats = _doc_stats(roots, cands)
+    accepted = _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb)
+    return _doc_triples(doc_key, accepted)
+
+
+# ------------------------------------------------------------- the operator
+
+
+def _grams3(s: str) -> set:
+    """Distinct char 3-grams, mirroring linking._gram_df's expression
+    (strings shorter than 3 chars produce an empty profile)."""
+    return set(s[i : i + 3] for i in range(len(s) - 2)) if len(s) >= 3 else set()
+
+
+def py_link_map(tokens, ontology, top_k=None) -> dict:
+    """Pure-python mirror of linking.build_link_map for the fused path:
+    both sides (distinct unknown tokens, dictionary surfaces) are
+    vocabulary-sized, so scoring them on the driver replaces a ~6-stage
+    similarity-join mini-job with microseconds of work. Asserted equal to
+    the relational path by tests/test_fused_parity.py on the disease
+    domain (which contains unseen typos). Thresholds and tie-breaks match
+    linking.py:30-32,77-85 exactly."""
+    from .linking import MIN_JACCARD, MIN_LEV_SIM
+
+    d = ontology.dictionary
+    surfaces = [
+        (str(t), str(s).lower())
+        for t, s in zip(d[d.kind == "individual"].type_id, d[d.kind == "individual"].surface_form)
+    ]
+    dict_side = []
+    for tid, surf in surfaces:
+        sg = _grams3(surf)
+        dict_side.append((tid, surf, sg, len(sg)))
+    ind_class = dict(zip(ontology.individuals.individual_id, ontology.individuals.class_id))
+
+    out = {}
+    for tok in set(t.lower() for t in tokens):
+        tg = _grams3(tok)
+        if not tg:
+            continue
+        best = None
+        for tid, surf, sg, sn in dict_side:
+            common = len(tg & sg)
+            if common == 0:
+                continue
+            jac = common / (len(tg) + sn - common)
+            lev_sim = 1.0 - _levenshtein(tok, surf) / max(len(tok), len(surf))
+            if jac < MIN_JACCARD or lev_sim < MIN_LEV_SIM:
+                continue
+            key = (-lev_sim, -jac, tid)
+            if best is None or key < best[0]:
+                best = (key, tid)
+        if best is not None:
+            tid = best[1]
+            out[tok] = (tid, ind_class.get(tid))
+    return out
+
+
+def capitalized_vocabulary(instances: DataFrame, ontology) -> DataFrame:
+    """Distinct capitalized tokens (len >= 4) in the corpus minus exact
+    dictionary surfaces — a JVM-side over-approximation of the unknown
+    surface forms. Over-approximation is sound: the kernel applies the
+    link map only to tokens its own coverage check marks unknown, and
+    build_link_map is per-token independent, so restricting a larger map
+    agrees with the map built from the exact unknown set."""
+    toks = (
+        instances.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(content, '\\b[A-Z][a-z]{3,}\\b', 0)")
+            ).alias("text")
+        ).distinct()
+    )
+    spark = instances.sparkSession
+    surfaces = spark.createDataFrame(
+        ontology.dictionary[["surface_form"]].drop_duplicates()
+    ).select(F.lower("surface_form").alias("lsf"))
+    return toks.join(
+        F.broadcast(surfaces), F.lower(F.col("text")) == F.col("lsf"), "left_anti"
+    )
+
+
+def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
+                  thresholds: dict, min_ner_length: int = 2,
+                  kb_triples=None, link_map_df: DataFrame | None = None,
+                  fuzzy_linking: bool = True) -> DataFrame:
+    """instances(doc_key, content) -> triples(doc_key, subj, pred, obj).
+
+    Map-only plan: a tiny link-map job (vocabulary-sized), then one
+    mapInPandas stage over the corpus. Zero corpus-sized shuffles — this is
+    the 10^12-file hot path (scan partitioned by (repo, lang); the model
+    and link map broadcast)."""
+    from ..operators.trainer import THRESHOLD_PREFIX
+
+    spark = instances.sparkSession
+    if not fuzzy_linking:
+        link_map = {}
+    elif link_map_df is not None:
+        link_rows = link_map_df.select("token", "type_id", "class_id").collect()
+        link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
+    else:
+        # distinct-token scan stays distributed (corpus-bound); scoring the
+        # vocabulary against the dictionary happens on the driver
+        vocab = [r["text"] for r in capitalized_vocabulary(instances, ontology).collect()]
+        link_map = py_link_map(vocab, ontology)
+
+    w = weights_pdf[~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)]
+    weights = dict(zip(w.feature, w.weight.astype(float)))
+    spec = ontology_spec(ontology)
+    kb = None
+    if kb_triples is not None:
+        kb = set(
+            (r["pred"], r["obj"]) for r in kb_triples.select("pred", "obj").distinct().collect()
+        )
+
+    pattern_rows = compile_pattern_table(ontology)
+    sc = spark.sparkContext
+    bc = sc.broadcast(
+        {
+            "patterns": pattern_rows, "link_map": link_map, "spec": spec,
+            "weights": weights, "thresholds": dict(thresholds),
+            "min_len": min_ner_length, "kb": kb,
+        }
+    )
+
+    def run(batches):
+        v = bc.value
+        compiled = compile_patterns(v["patterns"])
+        for pdf in batches:
+            recs = []
+            for doc_key, content in zip(pdf["doc_key"], pdf["content"]):
+                recs.extend(
+                    extract_document(
+                        doc_key, content, compiled, v["link_map"], v["spec"],
+                        v["weights"], v["thresholds"], v["min_len"], v["kb"],
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["doc_key", "subj", "pred", "obj"])
+
+    return instances.select("doc_key", "content").mapInPandas(run, schema=TRIPLE_SCHEMA)

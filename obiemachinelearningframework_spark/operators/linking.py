@@ -45,14 +45,17 @@ def _gram_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).withColumn("_n", F.size("_grams"))
 
 
-def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
-                      top_k: int = TOP_K) -> DataFrame:
-    """unknown_tokens(doc_key, text, onset, offset, sent_idx) ->
-    linked mentions (same schema as detect_mentions output).
+def build_link_map(unknown_tokens: DataFrame, ontology, spark,
+                   top_k: int = TOP_K) -> DataFrame:
+    """Distinct unknown surface forms -> (token, type_id, class_id) best
+    links. The output is VOCABULARY-sized (distinct surfaces x top-1), tiny
+    relative to the corpus, and meant to be broadcast back onto the
+    mention stream — so the fuzzy-retrieval sub-job never shuffles
+    corpus-sized data.
 
     Joins distinct unknown surface forms against the dictionary by shared
     3-grams, scores Jaccard + Levenshtein similarity, keeps top-k above
-    threshold, and maps the links back onto every occurrence.
+    threshold, then top-1 per token.
     """
     ind_class = spark.createDataFrame(
         ontology.individuals.rename(columns={"individual_id": "type_id"})[["type_id", "class_id"]]
@@ -83,11 +86,18 @@ def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
     best = top.filter("_rn = 1").select(
         F.col("_id").alias("token"), F.col("_dict_id").alias("type_id"), "lev_sim"
     )
+    return best.join(F.broadcast(ind_class), "type_id").select(
+        "token", "type_id", "class_id", "lev_sim"
+    )
 
-    linked = (
+
+def apply_link_map(unknown_tokens: DataFrame, link_map: DataFrame) -> DataFrame:
+    """unknown_tokens(doc_key, text, onset, offset, sent_idx) x broadcast
+    link map -> linked mention rows (detect_mentions schema). Map-side only:
+    the corpus-sized stream never shuffles."""
+    return (
         unknown_tokens.withColumn("token", F.lower("text"))
-        .join(best, "token")
-        .join(F.broadcast(ind_class), "type_id")
+        .join(F.broadcast(link_map), "token")
         .select(
             "doc_key",
             F.lit("individual").alias("kind"),
@@ -102,7 +112,14 @@ def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
             F.lit(None).cast("string").alias("dt_value"),
         )
     )
-    return linked
+
+
+def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
+                      top_k: int = TOP_K) -> DataFrame:
+    """unknown_tokens -> linked mentions (same schema as detect_mentions
+    output): build_link_map + apply_link_map composed (kept as the
+    single-call form used by tests and ad-hoc linking)."""
+    return apply_link_map(unknown_tokens, build_link_map(unknown_tokens, ontology, spark, top_k))
 
 
 def unknown_capitalized_tokens(instances: DataFrame, mentions: DataFrame) -> DataFrame:

@@ -54,7 +54,67 @@ def prepare_instances(source_df: DataFrame) -> DataFrame:
     ).withColumn("sha256", F.sha2(F.col("content"), 256))
 
 
-def detect_mentions(instances: DataFrame, ontology, min_ner_length: int = 2) -> DataFrame:
+UNKNOWN_KIND = "unknown"
+_CAP_TOKEN = re.compile(r"\b[A-Z][a-z]{3,}\b")
+
+
+def compile_patterns(pattern_rows):
+    """Pattern-table rows -> list of (type_id, kind, class_id, is_dt, regex)."""
+    return [
+        (r["type_id"], r["kind"], r["class_id"], bool(r["is_datatype"]), re.compile(r["pattern"], FLAGS))
+        for r in pattern_rows
+    ]
+
+
+def match_document(content: str, compiled, min_len: int, want_unknown: bool):
+    """One document through the NER kernel. Returns (mentions, unknowns):
+    mentions = [(kind, type_id, class_id, individual_id, is_dt, text, onset,
+    offset, sent_idx, dt_value)], unknowns = [(text, onset, offset,
+    sent_idx)] (uncovered capitalized tokens, only if want_unknown).
+    Single source of truth for both detect_mentions and the fused
+    extraction kernel — their mention sets agree by construction."""
+    content = content or ""
+    bounds = sentence_bounds(content)
+    rows, spans = [], []
+    for type_id, kind, class_id, is_dt, pat in compiled:
+        for m in pat.finditer(content):
+            text = m.group(0)
+            if len(text) < min_len:
+                continue
+            dt_value = None
+            if is_dt:
+                dt_value = interpreter.interpret_match(m)
+                if dt_value is None:
+                    # dictionary-matched string datatype: the lowercased
+                    # surface IS the interpreted value
+                    dt_value = text.lower()
+            rows.append(
+                (
+                    kind, type_id, class_id,
+                    type_id if kind == "individual" else None,
+                    is_dt, text, m.start(), m.end(),
+                    sent_index_of(bounds, m.start()) if bounds else 0,
+                    dt_value,
+                )
+            )
+            if want_unknown:
+                spans.append((m.start(), m.end()))
+    unknowns = []
+    if want_unknown:
+        spans.sort()
+        for t in _CAP_TOKEN.finditer(content):
+            on, off = t.start(), t.end()
+            if any(s <= on and off <= e for s, e in spans):
+                continue
+            unknowns.append(
+                (t.group(0), on, off, sent_index_of(bounds, on) if bounds else 0)
+            )
+    return rows, unknowns
+
+
+def detect_mentions(
+    instances: DataFrame, ontology, min_ner_length: int = 2, emit_unknown: bool = False
+) -> DataFrame:
     """instances(doc_key, content, ...) -> mentions DataFrame.
 
     One output row per (pattern match x type); duplicates from overlapping
@@ -62,46 +122,41 @@ def detect_mentions(instances: DataFrame, ontology, min_ner_length: int = 2) -> 
     (doc_key, kind, type_id, onset, offset). Ambiguous spans (two types
     matching the same text) are KEPT — disambiguation is the slot-filling
     scorer's job, as in the reference.
+
+    ``emit_unknown=True`` additionally emits one row per capitalized
+    alphabetic token (len >= 4) not covered by any detected mention, with
+    ``kind='unknown'`` — the candidate surface forms for fuzzy linking
+    (``explorer/EntityRecognitionExplorer.java:150-187`` span gate). Doing
+    this inside the same kernel pass removes a tokenize-explode plus a
+    range anti-join from the plan: at scale those are two extra
+    content-sized stages; here the matches are already in hand.
+
+    Note: when ``emit_unknown`` is set the dropDuplicates is left to the
+    caller (the pipeline dedups once after merging fuzzy-linked rows) so
+    the kernel output stays a pure map stage.
     """
     pattern_rows = compile_pattern_table(ontology)
     spark = instances.sparkSession
     bc = spark.sparkContext.broadcast(pattern_rows)
     min_len = min_ner_length
+    want_unknown = emit_unknown
 
     def run(batches):
-        compiled = [
-            (r["type_id"], r["kind"], r["class_id"], bool(r["is_datatype"]), re.compile(r["pattern"], FLAGS))
-            for r in bc.value
-        ]
+        compiled = compile_patterns(bc.value)
+        cols = MENTION_SCHEMA.fieldNames()
         for pdf in batches:
-            out = {k: [] for k in MENTION_SCHEMA.fieldNames()}
+            recs = []
             for doc_key, content in zip(pdf["doc_key"], pdf["content"]):
-                content = content or ""
-                bounds = sentence_bounds(content)
-                for type_id, kind, class_id, is_dt, pat in compiled:
-                    for m in pat.finditer(content):
-                        text = m.group(0)
-                        if len(text) < min_len:
-                            continue
-                        dt_value = None
-                        if is_dt:
-                            dt_value = interpreter.interpret_match(m)
-                            if dt_value is None:
-                                # dictionary-matched string datatype: the
-                                # lowercased surface IS the interpreted value
-                                dt_value = text.lower()
-                        out["doc_key"].append(doc_key)
-                        out["kind"].append(kind)
-                        out["type_id"].append(type_id)
-                        out["class_id"].append(class_id)
-                        out["individual_id"].append(type_id if kind == "individual" else None)
-                        out["is_datatype"].append(is_dt)
-                        out["text"].append(text)
-                        out["onset"].append(m.start())
-                        out["offset"].append(m.end())
-                        out["sent_idx"].append(sent_index_of(bounds, m.start()) if bounds else 0)
-                        out["dt_value"].append(dt_value)
-            yield pd.DataFrame(out)
+                rows, unknowns = match_document(content, compiled, min_len, want_unknown)
+                for r in rows:
+                    recs.append((doc_key,) + r)
+                for text, on, off, sent in unknowns:
+                    recs.append(
+                        (doc_key, UNKNOWN_KIND, None, None, None, False, text, on, off, sent, None)
+                    )
+            yield pd.DataFrame(recs, columns=cols)
 
     mentions = instances.select("doc_key", "content").mapInPandas(run, schema=MENTION_SCHEMA)
+    if emit_unknown:
+        return mentions
     return mentions.dropDuplicates(["doc_key", "kind", "type_id", "onset", "offset"])

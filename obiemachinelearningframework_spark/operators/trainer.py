@@ -47,9 +47,9 @@ def label_pairs(pairs: DataFrame, gold_triples: DataFrame) -> DataFrame:
     ).dropDuplicates()
     return (
         pairs.select("pair_id", "doc_key", "root_id", "slot_name", "obj_id")
-        .join(g, ["doc_key", "root_id", "slot_name", "obj_id"], "left")
-        .select("pair_id", "slot_name", F.coalesce("label", F.lit(0.0)).alias("label"))
-        .dropDuplicates(["pair_id"])
+        .join(F.broadcast(g), ["doc_key", "root_id", "slot_name", "obj_id"], "left")
+        .select("doc_key", "pair_id", "slot_name", F.coalesce("label", F.lit(0.0)).alias("label"))
+        .dropDuplicates(["doc_key", "pair_id"])
     )
 
 

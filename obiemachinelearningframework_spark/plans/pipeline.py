@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.candidates import generate_candidates, propose_roots
 from ..operators.filler import greedy_fill, scored_pairs
-from ..operators.mentions import detect_mentions, prepare_instances
+from ..operators.mentions import UNKNOWN_KIND, detect_mentions, prepare_instances
 from ..operators.features import build_pairs, compute_features
 from ..operators.trainer import (
     label_pairs,
@@ -39,20 +39,53 @@ class OBIEPipeline:
     def prepare(self, source_df: DataFrame) -> DataFrame:
         return prepare_instances(source_df)
 
-    def mentions(self, instances: DataFrame) -> DataFrame:
-        base = detect_mentions(instances, self.ontology, self.min_ner_length)
-        if self.fuzzy_linking:
-            from ..operators.linking import fuzzy_link_tokens, unknown_capitalized_tokens
+    def _n_shuffle(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
 
-            unknown = unknown_capitalized_tokens(instances, base)
-            linked = fuzzy_link_tokens(unknown, self.ontology, self.spark)
-            base = base.unionByName(linked).dropDuplicates(
-                ["doc_key", "kind", "type_id", "onset", "offset"]
-            )
-        return base
+    def _mentions_with_caches(self, instances: DataFrame):
+        """Mentions clustered by doc_key — THE one corpus-sized exchange of
+        the whole extraction plan. Every downstream join / window / groupBy
+        / dropDuplicates keys on a doc_key-prefixed key set, and
+        hash-partitioning on doc_key satisfies ClusteredDistribution for
+        any superset, so Catalyst inserts no further exchange on the big
+        tables (checked in PLANS.md). Explicit partition count (not bare
+        repartition("doc_key")) so AQE cannot coalesce the exchange down
+        before the feature explode multiplies the data ~50x.
+
+        Returns (mentions_df, caches_to_unpersist)."""
+        dedup_keys = ["doc_key", "kind", "type_id", "onset", "offset"]
+        n = self._n_shuffle()
+        if not self.fuzzy_linking:
+            base = detect_mentions(instances, self.ontology, self.min_ner_length)
+            return base.repartition(n, "doc_key"), []
+        from ..operators.linking import apply_link_map, build_link_map
+
+        # one kernel pass emits detected mentions AND uncovered capitalized
+        # tokens; cached so the link-map sub-job does not re-run the regex
+        # kernel (mention-sized, cheap to hold)
+        raw = detect_mentions(
+            instances, self.ontology, self.min_ner_length, emit_unknown=True
+        ).cache()
+        unknown = raw.filter(F.col("kind") == UNKNOWN_KIND).select(
+            "doc_key", "text", "onset", "offset", "sent_idx"
+        )
+        links = build_link_map(unknown, self.ontology, self.spark)
+        linked = apply_link_map(unknown, links)
+        base = raw.filter(F.col("kind") != UNKNOWN_KIND).unionByName(linked)
+        return base.repartition(n, "doc_key").dropDuplicates(dedup_keys), [raw]
+
+    def mentions(self, instances: DataFrame) -> DataFrame:
+        return self._mentions_with_caches(instances)[0]
 
     def roots_and_candidates(self, mentions: DataFrame):
-        return propose_roots(mentions, self.ontology), generate_candidates(mentions, self.ontology)
+        # candidates is a union of per-slot branches — union loses the
+        # partitioning property, so re-declare doc_key clustering on the
+        # (small, mention-sized) candidate table; the (root x candidate)
+        # join and everything after it then stays exchange-free
+        cands = generate_candidates(mentions, self.ontology).repartition(
+            self._n_shuffle(), "doc_key"
+        )
+        return propose_roots(mentions, self.ontology), cands
 
     # ----------------------------------------------------------------- train
 
@@ -62,15 +95,16 @@ class OBIEPipeline:
         if splits is not None:
             train_keys = splits.filter(F.col("split") == train_split).select("doc_key")
             inst = instances.join(train_keys, "doc_key", "left_semi")
-        mentions = self.mentions(inst).cache()
+        mentions, caches = self._mentions_with_caches(inst)
+        mentions = mentions.cache()
         roots, candidates = self.roots_and_candidates(mentions)
         pairs = build_pairs(roots, candidates, inst).cache()
         feats = compute_features(pairs, self.ontology)
         labels = label_pairs(pairs, gold_triples)
         self.weights = train_weights(feats, labels)
         self.thresholds = thresholds_from_weights(self.weights)
-        mentions.unpersist()
-        pairs.unpersist()
+        for c in [mentions, pairs, *caches]:
+            c.unpersist()
         return self
 
     # --------------------------------------------------------------- predict
@@ -78,18 +112,23 @@ class OBIEPipeline:
     def predict(self, instances: DataFrame, alias_edges: DataFrame | None = None) -> dict:
         assert self.weights is not None, "fit() or load_weights() first"
         w_df = model_weights_df(self.spark, self.weights)
-        # cache each fan-out point: roots/candidates both read mentions, and
-        # pairs reads both — without caching the mention UDF chain re-runs
-        # once per downstream branch
-        mentions = self.mentions(instances).cache()
+        # two cache points only: mentions (the regex kernel feeds both the
+        # roots and the candidates branch — without it the expensive UDF
+        # scan runs twice) and pairs (inside scored_pairs: feeds the feature
+        # pass and the score join-back). roots/candidates are single-reader
+        # projections of cached mentions — caching them would only add
+        # materialization stages.
+        mentions, caches = self._mentions_with_caches(instances)
+        mentions = mentions.cache()
+        # eager materialization: AQE submits the downstream broadcast/shuffle
+        # query stages in parallel, and several of them read this cache — if
+        # it is still lazy they RACE and each recomputes the regex kernel
+        # (observed: 3 concurrent duplicate kernel jobs). One count pins it.
+        mentions.count()
         roots, candidates = self.roots_and_candidates(mentions)
-        roots = roots.cache()
-        candidates = candidates.cache()
         pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology)
-        # cache the fixpoints: canonicalization below runs iterative actions
-        # and must not recompute the scoring chain per iteration
-        assignments = greedy_fill(pairs, self.ontology, self.thresholds).cache()
-        triples = materialize_triples(assignments).cache()
+        assignments = greedy_fill(pairs, self.ontology, self.thresholds)
+        triples = materialize_triples(assignments)
         # cross-doc canonicalization: entity ids from dictionary grounding
         # and fuzzy linking are already canonical individual ids (the
         # similarity join in operators/linking.py maps every surface variant
@@ -105,10 +144,11 @@ class OBIEPipeline:
         )
 
         if alias_edges is not None:
+            # the CC loop below runs iterative actions — cache the fixpoint
+            # input so the scoring chain is not recomputed per iteration
+            triples = triples.cache()
             comps = connected_components(canonicalization_edges(triples, alias_edges))
             triples = canonicalize_triples(triples, comps)
-        else:
-            triples = triples.dropDuplicates(["doc_key", "subj", "pred", "obj"])
         return {
             "mentions": mentions,
             "roots": roots,
@@ -116,6 +156,22 @@ class OBIEPipeline:
             "assignments": assignments,
             "triples": triples,
         }
+
+    def predict_fused(self, instances: DataFrame, kb_triples: DataFrame | None = None) -> DataFrame:
+        """Map-only hot path: the whole per-document inference fused into
+        one mapInPandas stage with the model broadcast
+        (``operators/fused.py``). Emits triples only; asserted equal to
+        ``predict()['triples']`` in tests/test_fused_parity.py. This is the
+        plan shape the 10^12-file job runs: a scan-shaped job with no
+        corpus-sized shuffle, so throughput scales with executors."""
+        assert self.weights is not None, "fit() or load_weights() first"
+        from ..operators.fused import extract_fused
+
+        return extract_fused(
+            instances, self.ontology, self.weights, self.thresholds,
+            min_ner_length=self.min_ner_length, kb_triples=kb_triples,
+            fuzzy_linking=self.fuzzy_linking,
+        )
 
     # ----------------------------------------------------------- model (de)ser
 

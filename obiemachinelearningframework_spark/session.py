@@ -32,9 +32,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins co-partitioned on a SUBSET of the join keys (everything in
+        # the extraction plan is clustered by doc_key; join keys are
+        # doc_key-prefixed) must not re-exchange both sides — this is the
+        # bucketed-join co-location contract at cluster scale
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("OBIE_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", os.environ.get("OBIE_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,51 @@
+"""Fused kernel == relational plan, exactly.
+
+The fused extraction kernel (operators/fused.py) re-implements the
+per-document inference imperatively; this test pins it to the relational
+path triple-for-triple on BOTH fixture domains, so any drift between the
+two implementations fails CI rather than silently forking semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from obiemachinelearningframework_spark.fixtures import generate_corpus
+from obiemachinelearningframework_spark.plans.pipeline import OBIEPipeline
+
+
+@pytest.mark.parametrize("domain", ["soccer", "disease"])
+def test_fused_matches_relational(spark, domain):
+    # disease @ (60, 42) is the corpus test_linking proves to contain
+    # unseen typos — it forces the fuzzy-linking path through both kernels
+    n_docs, seed = (60, 42) if domain == "disease" else (40, 11)
+    c = generate_corpus(domain, n_docs=n_docs, seed=seed)
+    pipe = OBIEPipeline(spark, c["ontology"])
+    inst = pipe.prepare(spark.createDataFrame(c["source"])).repartition(8, "doc_key").cache()
+    gold = spark.createDataFrame(c["gold_triples"])
+    pipe.fit(inst, gold)
+
+    relational = (
+        pipe.predict(inst)["triples"].select("doc_key", "subj", "pred", "obj").collect()
+    )
+    fused = pipe.predict_fused(inst).collect()
+
+    r_set = {tuple(r) for r in relational}
+    f_set = {tuple(r) for r in fused}
+    only_r = sorted(r_set - f_set)[:10]
+    only_f = sorted(f_set - r_set)[:10]
+    assert r_set == f_set, (
+        f"{domain}: relational-only={only_r} fused-only={only_f} "
+        f"(|rel|={len(r_set)} |fused|={len(f_set)})"
+    )
+    assert len(r_set) > 0
+
+    if domain == "disease":
+        # the disease fixture contains unseen typos — make sure the parity
+        # above actually exercised the fuzzy-linking code path (the python
+        # link map must agree with linking.build_link_map, not be empty)
+        from obiemachinelearningframework_spark.operators.fused import (
+            capitalized_vocabulary,
+            py_link_map,
+        )
+
+        vocab = [r["text"] for r in capitalized_vocabulary(inst, c["ontology"]).collect()]
+        assert py_link_map(vocab, c["ontology"]), "fuzzy linking not exercised"
