@@ -41,15 +41,20 @@ OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))
 OBIE_TRAIN_DOCS = int(os.environ.get("OBIE_TRAIN_DOCS", "60"))
 
 
-def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS):
+def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS,
+                     relational_too: bool = True):
     """Flagship OBIE job: train the model on a FIXED-size sample (training
     is a constant-cost planning step at production scale — the model does
-    not grow with the corpus), then run the data-parallel extraction
-    (mentions -> candidates -> features -> score -> fill -> triples) over
-    the whole corpus. Returns (n_triples, extract_seconds, fit_seconds):
-    extraction throughput is what scales with cluster size."""
-    from pyspark.sql import functions as F
+    not grow with the corpus), then run the extraction over the whole
+    corpus twice:
 
+    * fused kernel (``predict_fused`` — the production hot path: one
+      map-only stage, model broadcast, zero corpus shuffles), the number
+      the scaling gate measures;
+    * relational plan (``predict`` — the composable DataFrame path, same
+      triples by tests/test_fused_parity.py), reported alongside.
+
+    Returns (n_triples, fused_s, fit_s, relational_s)."""
     from obiemachinelearningframework_spark.fixtures import generate_corpus
     from obiemachinelearningframework_spark.plans.pipeline import OBIEPipeline
 
@@ -68,11 +73,17 @@ def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS):
     t0 = time.perf_counter()
     pipe.fit(inst.join(train_keys, "doc_key", "left_semi").cache(), gold)
     fit_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    out = pipe.predict(inst)
-    n_triples = out["triples"].count()
-    extract_s = time.perf_counter() - t0
-    return n_triples, extract_s, fit_s
+    n_triples = pipe.predict_fused(inst).count()
+    fused_s = time.perf_counter() - t0
+
+    relational_s = None
+    if relational_too:
+        t0 = time.perf_counter()
+        pipe.predict(inst)["triples"].count()
+        relational_s = time.perf_counter() - t0
+    return n_triples, fused_s, fit_s, relational_s
 
 
 def main() -> None:
@@ -92,21 +103,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     triple_count = 0
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        if name == "triples_kg":
-            triple_count = n
+    scaling_only = os.environ.get("OBIE_SCALING_ONLY") == "1"
+    if not scaling_only:
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            if name == "triples_kg":
+                triple_count = n
 
-    obie_triples, extract_s, fit_s = run_obie_extract(spark, OBIE_BENCH_DOCS)
+    obie_triples, extract_s, fit_s, rel_s = run_obie_extract(
+        spark, OBIE_BENCH_DOCS, relational_too=not scaling_only
+    )
     timings["obie_fit"] = round(fit_s, 3)
     timings["obie_extract"] = round(extract_s, 3)
     total += fit_s + extract_s
+    if rel_s is not None:
+        timings["obie_extract_relational"] = round(rel_s, 3)
+        total += rel_s
 
     out = {
         "metric": "headline_queries_total",
@@ -124,71 +142,87 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the identical bench at local[8] and local[32]; write BENCH/BASELINE.md.
+    """Run the identical extraction at local[N] and local[4N]; write
+    BENCH/BASELINE.md with throughput at both levels + scaling efficiency
+    (the BASELINE.json north-rule evidence).
 
-    The corpus is enlarged (OBIE_SCALING_DOCS, default 1500) so executor-side
-    work dominates the fixed per-action driver overhead — the regime a real
-    cluster runs in; the same rationale as measuring cluster scaling on a
-    saturated workload rather than an idle-latency one."""
-    runs: dict[int, list] = {8: [], 32: []}
-    scaling_docs = os.environ.get("OBIE_SCALING_DOCS", "1500")
+    The measured job is the fused extraction kernel over a saturated
+    corpus (OBIE_SCALING_DOCS, default 48000 docs): a map-only plan whose
+    wall time is dominated by per-document compute, the regime a
+    1000-executor job runs in. The headline micro-suite is skipped in
+    these subprocesses (OBIE_SCALING_ONLY=1) — 0.2-6 s queries measure
+    fixed per-action latency, not scaling."""
+    lo, hi = (
+        int(x) for x in os.environ.get("OBIE_SCALING_CPUS", "8,32").split(",")
+    )
+    runs: dict[int, list] = {lo: [], hi: []}
+    scaling_docs = os.environ.get("OBIE_SCALING_DOCS", "48000")
     repeats = int(os.environ.get("OBIE_SCALING_REPEATS", "3"))
     # interleave the two configs and repeat: the sandbox VM suffers bursty
     # hypervisor steal (3-4x wall-time swings), so a single A-then-B pass
     # confounds config with luck; min-of-k per config estimates the
     # uncontended capability each side actually has
     for rep in range(repeats):
-        for cpus in (8, 32):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), OBIE_BENCH_DOCS=scaling_docs)
+        for cpus in (lo, hi):
+            env = dict(
+                os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                OBIE_BENCH_DOCS=scaling_docs, OBIE_SCALING_ONLY="1",
+            )
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
-            print(f"rep{rep} local[{cpus}]: {line}")
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                print(f"rep{rep} local[{cpus}] FAILED (rc={p.returncode}):\n"
+                      f"{p.stderr.strip().splitlines()[-15:]}")
+                continue
+            runs[cpus].append(json.loads(lines[-1]))
+            print(f"rep{rep} local[{cpus}]: {lines[-1]}")
 
+    assert runs[lo] and runs[hi], "no successful scaling runs on one side"
     results = {
         cpus: min(rs, key=lambda r: r["queries"]["obie_extract"]) for cpus, rs in runs.items()
     }
-    r8, r32 = results[8], results[32]
-    thr8 = r8["obie_triples_per_sec"]
-    thr32 = r32["obie_triples_per_sec"]
-    q8, q32 = r8["value"], r32["value"]
-    eff_obie = (thr32 / thr8) / 4.0
-    eff_total = (q8 / q32) / 4.0
+    rlo, rhi = results[lo], results[hi]
+    thr_lo = rlo["obie_triples_per_sec"]
+    thr_hi = rhi["obie_triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — two-parallelism scaling evidence\n\n"
-            "Identical job + input at `local[8]` vs `local[32]` (sandbox proxy for N vs 4N\n"
-            "executors per BASELINE.md §3). Throughput = triples/sec of the data-parallel\n"
-            f"extraction phase (mentions -> candidates -> features -> score -> fill ->\n"
-            f"triples) over {r8['obie_docs']} generated source-code docs; the model is\n"
-            "trained once on a fixed 60-doc sample (constant-cost planning step —\n"
-            "the model does not grow with the corpus).\n\n"
-            "| parallelism | headline total (s) | obie_fit (s) | obie_extract (s) | triples | triples/sec |\n"
-            "|---|---|---|---|---|---|\n"
-            f"| local[8] | {q8} | {r8['queries']['obie_fit']} | {r8['queries']['obie_extract']} | {r8['obie_triples']} | {thr8} |\n"
-            f"| local[32] | {q32} | {r32['queries']['obie_fit']} | {r32['queries']['obie_extract']} | {r32['obie_triples']} | {thr32} |\n\n"
-            f"- Extraction scaling efficiency (thr32/thr8)/4 = **{eff_obie:.3f}**\n"
-            f"- Headline-suite wall-time ratio normalized (t8/t32)/4 = **{eff_total:.3f}**\n\n"
+            f"Identical job + input at `local[{lo}]` vs `local[{hi}]` (sandbox proxy for\n"
+            "N vs 4N executors per BASELINE.json north_rule). Throughput = triples/sec\n"
+            "of the fused extraction kernel (operators/fused.py: the whole per-document\n"
+            "inference — mentions -> candidates -> features -> score -> fill -> triples —\n"
+            "as ONE map stage with the model and fuzzy link map broadcast; zero\n"
+            f"corpus-sized shuffles) over {rlo['obie_docs']} generated source-code docs.\n"
+            "The model is trained once on a fixed 60-doc sample (constant-cost planning\n"
+            "step — the model does not grow with the corpus). The fused kernel emits\n"
+            "EXACTLY the triples of the relational predict() plan\n"
+            "(tests/test_fused_parity.py, both fixture domains).\n\n"
+            "| parallelism | obie_fit (s) | obie_extract (s) | triples | triples/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[{lo}] | {rlo['queries']['obie_fit']} | {rlo['queries']['obie_extract']} | {rlo['obie_triples']} | {thr_lo} |\n"
+            f"| local[{hi}] | {rhi['queries']['obie_fit']} | {rhi['queries']['obie_extract']} | {rhi['obie_triples']} | {thr_hi} |\n\n"
+            f"- **Extraction scaling efficiency (thr{hi}/thr{lo})/{hi // lo} = {eff:.3f}**"
+            f" (gate: >= 0.8)\n\n"
             "Method: configs interleaved and repeated (min-of-"
             f"{repeats} per config) because the sandbox VM shows bursty hypervisor\n"
             "steal time with 3-4x wall-time swings; the minimum estimates each\n"
             "config's uncontended capability. Caveats: (1) one JVM shares memory\n"
             "bandwidth across threads — a real 4x executor group scales I/O and\n"
-            "memory bandwidth too; (2) the headline micro-queries at sf0.1 run\n"
-            "0.2-6 s each and are dominated by fixed per-action costs, so their\n"
-            "ratio is NOT a scaling signal — the extraction phase is the saturated\n"
-            "workload.\n\n"
-            f"all runs local[8] extract (s): {[r['queries']['obie_extract'] for r in runs[8]]}\n\n"
-            f"all runs local[32] extract (s): {[r['queries']['obie_extract'] for r in runs[32]]}\n\n"
-            f"raw best local[8]: `{json.dumps(r8)}`\n\n"
-            f"raw best local[32]: `{json.dumps(r32)}`\n"
+            "memory bandwidth too; (2) driver heap is 16g: a 48g heap regressed\n"
+            f"local[{hi}] extraction 4-5x via G1 page churn (kernel time), see\n"
+            "session.py.\n\n"
+            f"all runs local[{lo}] extract (s): {[r['queries']['obie_extract'] for r in runs[lo]]}\n\n"
+            f"all runs local[{hi}] extract (s): {[r['queries']['obie_extract'] for r in runs[hi]]}\n\n"
+            f"raw best local[{lo}]: `{json.dumps(rlo)}`\n\n"
+            f"raw best local[{hi}]: `{json.dumps(rhi)}`\n"
         )
-    print(f"scaling efficiency (obie triples/sec): {eff_obie:.3f}")
+    print(f"scaling efficiency (obie triples/sec): {eff:.3f}")
 
 
 if __name__ == "__main__":

@@ -123,6 +123,7 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
                     "dt_value",
                     F.col("dt_value").alias("obj_id"),
                     "text", "onset", "offset", "sent_idx",
+                    "src",
                     empty_aux.alias("aux_values"),
                 )
             )
@@ -145,6 +146,7 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
                     F.lit(None).cast("string").alias("dt_value"),
                     F.col("individual_id").alias("obj_id"),
                     "text", "onset", "offset", "sent_idx",
+                    "src",
                     empty_aux.alias("aux_values"),
                 )
             )
@@ -163,6 +165,7 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
                     F.lit(None).cast("string").alias("dt_value"),
                     F.col("class_id").alias("obj_id"),
                     "text", "onset", "offset", "sent_idx",
+                    "src",
                     empty_aux.alias("aux_values"),
                 )
             )
@@ -228,5 +231,6 @@ def _aux_candidates(mentions: DataFrame, ontology, slot_row) -> DataFrame:
         onset_col.alias("onset"),
         offset_col.alias("offset"),
         "sent_idx",
+        F.lit("ner").alias("src"),
         aux_map.alias("aux_values"),
     ).dropDuplicates(["doc_key", "obj_id", "sent_idx"])

@@ -134,9 +134,12 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
     nearest = F.col("is_nearest_root") == 1
 
     # per-(doc,slot,obj) evidence count & root-pairing count, per-(doc,slot)
-    # max evidence, per-doc root count — window functions over prefixes of
-    # one key family (FrequencyTemplate, HeterogeneousSlotTemplate,
-    # RootClassCardinalityTemplate statistics)
+    # max evidence + filler variety, per-doc root count + slot-evidence
+    # breadth — window functions over prefixes of one key family
+    # (FrequencyTemplate, HeterogeneousSlotTemplate,
+    # RootClassCardinalityTemplate, MainSlotVarietyTemplate,
+    # PropertyEvidenceForClassTemplate statistics). All partitions are
+    # doc_key-prefixed: no exchange under the doc_key clustering.
     w_obj = W.partitionBy("doc_key", "slot_name", "obj_id")
     w_slot = W.partitionBy("doc_key", "slot_name")
     w_doc = W.partitionBy("doc_key")
@@ -144,7 +147,9 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         pairs.withColumn("_n_ev", F.count("*").over(w_obj))
         .withColumn("_n_pairing", F.size(F.collect_set("root_id").over(w_obj)))
         .withColumn("_mx_ev", F.max("_n_ev").over(w_slot))
+        .withColumn("_variety", F.size(F.collect_set("obj_id").over(w_slot)))
         .withColumn("_n_roots", F.size(F.collect_set("root_id").over(w_doc)))
+        .withColumn("_n_ev_slots", F.size(F.collect_set("slot_name").over(w_doc)))
     )
 
     # token-array families (from the bounded context slices build_pairs
@@ -185,7 +190,8 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         _fs_if(after_root & before_next & nearest,
                F.concat(F.lit("in_block_nearest["), slot, F.lit("]"))),
         _fs(F.concat(F.lit("filler["), slot, F.lit("]="), F.coalesce("class_id", F.lit("null")))),
-        # TokenContextTemplate ±2 window
+        # TokenContextTemplate ±3 window (templates/TokenContextTemplate
+        # .java:260-337 emits single tokens at relative positions -3..+3)
         *[
             _fs_if(
                 F.try_element_at(F.col(arr), F.lit(idx)).isNotNull()
@@ -193,7 +199,28 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
                 F.concat(F.lit(f"{name}["), slot, F.lit("]="), F.try_element_at(F.col(arr), F.lit(idx))),
             )
             for name, arr, idx in (
-                ("ctx_l1", "_lt", 1), ("ctx_l2", "_lt", 2), ("ctx_r1", "_rt", 1), ("ctx_r2", "_rt", 2),
+                ("ctx_l1", "_lt", 1), ("ctx_l2", "_lt", 2), ("ctx_l3", "_lt", 3),
+                ("ctx_r1", "_rt", 1), ("ctx_r2", "_rt", 2), ("ctx_r3", "_rt", 3),
+            )
+        ],
+        # TokenContextTemplate token combinations ("l2 l1 <C>", "<C> r1 r2",
+        # "l1 <C> r1") — the conjunction features of the same template
+        *[
+            _fs_if(
+                F.try_element_at(F.col(a1), F.lit(i1)).isNotNull()
+                & (F.try_element_at(F.col(a1), F.lit(i1)) != "")
+                & F.try_element_at(F.col(a2), F.lit(i2)).isNotNull()
+                & (F.try_element_at(F.col(a2), F.lit(i2)) != ""),
+                F.concat(
+                    F.lit(f"{name}["), slot, F.lit("]="),
+                    F.try_element_at(F.col(a1), F.lit(i1)), F.lit(" "),
+                    F.try_element_at(F.col(a2), F.lit(i2)),
+                ),
+            )
+            for name, a1, i1, a2, i2 in (
+                ("ctx_l2l1", "_lt", 2, "_lt", 1),
+                ("ctx_r1r2", "_rt", 1, "_rt", 2),
+                ("ctx_l1r1", "_lt", 1, "_rt", 1),
             )
         ],
         # FrequencyTemplate has-max-evidence
@@ -212,6 +239,27 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         # HeterogeneousSlotTemplate ==1 / !=1
         _fs(F.concat(F.lit("het["), slot, F.lit("]="),
                      F.when(F.col("_n_pairing") == 1, F.lit("eq1")).otherwise(F.lit("ne1")))),
+        # MainSlotVarietyTemplate: distinct-filler count of the slot
+        _fs(F.concat(F.lit("variety["), slot, F.lit("]="),
+                     F.least(F.col("_variety"), F.lit(5)).cast("string"))),
+        # PropertyEvidenceForClassTemplate: how many of the root's slots
+        # have any textual evidence in this document
+        _fs(F.concat(F.lit("pe["), slot, F.lit("]="),
+                     F.least(F.col("_n_ev_slots"), F.lit(6)).cast("string"))),
+        # NERTemplate FoundByNER flag: evidence that reached the candidate
+        # via fuzzy linking rather than dictionary/regex NER
+        _fs_if(F.col("src") == "fuzzy", F.concat(F.lit("fuzzy_ev["), slot, F.lit("]"))),
+        # InterTokenTemplate boundary tokens: first/last token between the
+        # root and the filler (position-marked, unlike the ib bag)
+        _fs_if(
+            F.col("_ib").isNotNull() & (F.size("_ib") >= 1),
+            F.concat(F.lit("ib_first["), slot, F.lit("]="), F.try_element_at(F.col("_ib"), F.lit(1))),
+        ),
+        _fs_if(
+            F.col("_ib").isNotNull() & (F.size("_ib") >= 2),
+            F.concat(F.lit("ib_last["), slot, F.lit("]="),
+                     F.try_element_at(F.col("_ib"), F.size("_ib"))),
+        ),
     ]
 
     # HierarchyTemplate: ontology-depth of the assigned class
@@ -253,11 +301,24 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
             _fs_if(F.col("_in_kb").isNotNull(), F.concat(F.lit("kb["), slot, F.lit("]")))
         )
 
+    # BOWnGramsTemplate: word bigrams over the mention surface
+    bow2 = F.when(
+        F.size("_bow") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_bow") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("_bow"), i), F.lit(" "), F.element_at(F.col("_bow"), i + 1)
+            ),
+        ),
+    )
+    p = p.withColumn("_bow2", bow2)
+
     empty = F.array().cast("array<struct<feature:string,value:double>>")
     all_feats = F.concat(
         F.array_compact(F.array(*scalar)),
         F.coalesce(_tok_feats(F.col("_ib"), "ib"), empty),
         _tok_feats(F.col("_bow"), "bow"),
+        F.coalesce(_tok_feats(F.col("_bow2"), "bow2"), empty),
         _tok_feats(F.col("_c3"), "c3g"),
     )
     return (

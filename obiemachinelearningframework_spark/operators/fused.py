@@ -140,7 +140,7 @@ def _doc_mentions(content, compiled, min_len, link_map):
         if link is not None:
             type_id, class_id = link
             rows.append(
-                ("individual", type_id, class_id, type_id, False, text, on, off, sent, None)
+                ("individual", type_id, class_id, type_id, False, text, on, off, sent, None, "fuzzy")
             )
     seen, out = set(), []
     for r in rows:
@@ -152,6 +152,7 @@ def _doc_mentions(content, compiled, min_len, link_map):
                     "kind": r[0], "type_id": r[1], "class_id": r[2],
                     "individual_id": r[3], "is_datatype": r[4], "text": r[5],
                     "onset": r[6], "offset": r[7], "sent_idx": r[8], "dt_value": r[9],
+                    "src": r[10],
                 }
             )
     return out
@@ -223,7 +224,7 @@ def _doc_candidates(mentions, spec):
                         "slot_name": name, "slot_kind": "dt", "class_id": cls,
                         "individual_id": None, "dt_value": dtv, "obj_id": dtv,
                         "text": x["text"], "onset": x["onset"], "offset": x["offset"],
-                        "sent_idx": x["sent_idx"], "aux_values": {},
+                        "sent_idx": x["sent_idx"], "src": x["src"], "aux_values": {},
                     }
                 )
         elif kind == "aux":
@@ -267,7 +268,7 @@ def _doc_candidates(mentions, spec):
                         "text": xs[0]["text"],
                         "onset": min(x["onset"] for x in xs),
                         "offset": max(x["offset"] for x in xs),
-                        "sent_idx": sent,
+                        "sent_idx": sent, "src": "ner",
                         "aux_values": dict(
                             zip([c["slot_name"] for c in s["children"]], child_vals)
                         ),
@@ -287,7 +288,7 @@ def _doc_candidates(mentions, spec):
                         "slot_name": name, "slot_kind": "ind", "class_id": x["class_id"],
                         "individual_id": ind, "dt_value": None, "obj_id": ind,
                         "text": x["text"], "onset": on, "offset": x["offset"],
-                        "sent_idx": x["sent_idx"], "aux_values": {},
+                        "sent_idx": x["sent_idx"], "src": x["src"], "aux_values": {},
                     }
                 )
         else:  # cls
@@ -304,7 +305,7 @@ def _doc_candidates(mentions, spec):
                         "slot_name": name, "slot_kind": "cls", "class_id": cls,
                         "individual_id": None, "dt_value": None, "obj_id": cls,
                         "text": x["text"], "onset": on, "offset": x["offset"],
-                        "sent_idx": x["sent_idx"], "aux_values": {},
+                        "sent_idx": x["sent_idx"], "src": x["src"], "aux_values": {},
                     }
                 )
     return cands
@@ -348,9 +349,18 @@ def _pair_features(r, c, content, stats, spec, kb):
     right_raw = content[offset : offset + CTX_CHARS]
     lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
     rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
-    for nm, arr, idx in (("ctx_l1", lt, 0), ("ctx_l2", lt, 1), ("ctx_r1", rt, 0), ("ctx_r2", rt, 1)):
+    for nm, arr, idx in (
+        ("ctx_l1", lt, 0), ("ctx_l2", lt, 1), ("ctx_l3", lt, 2),
+        ("ctx_r1", rt, 0), ("ctx_r2", rt, 1), ("ctx_r3", rt, 2),
+    ):
         if idx < len(arr) and arr[idx] != "":
             yield f"{nm}[{slot}]={arr[idx]}", 1.0
+    # TokenContext combination features
+    for nm, a1, i1, a2, i2 in (
+        ("ctx_l2l1", lt, 1, lt, 0), ("ctx_r1r2", rt, 0, rt, 1), ("ctx_l1r1", lt, 0, rt, 0),
+    ):
+        if i1 < len(a1) and a1[i1] and i2 < len(a2) and a2[i2]:
+            yield f"{nm}[{slot}]={a1[i1]} {a2[i2]}", 1.0
     # FrequencyTemplate has-max-evidence
     n_ev = stats["n_ev"][(slot, c["obj_id"])]
     if n_ev == stats["mx_ev"][slot]:
@@ -366,6 +376,10 @@ def _pair_features(r, c, content, stats, spec, kb):
     yield f"n_roots[{slot}]={min(stats['n_roots'], 6)}", 1.0
     het = "eq1" if stats["n_pairing"][(slot, c["obj_id"])] == 1 else "ne1"
     yield f"het[{slot}]={het}", 1.0
+    yield f"variety[{slot}]={min(stats['variety'][slot], 5)}", 1.0
+    yield f"pe[{slot}]={min(stats['n_ev_slots'], 6)}", 1.0
+    if c["src"] == "fuzzy":
+        yield f"fuzzy_ev[{slot}]", 1.0
     depth = spec["class_depth"].get(c["class_id"])
     if depth is not None:
         yield f"hier[{slot}]={depth}", 1.0
@@ -379,12 +393,21 @@ def _pair_features(r, c, content, stats, spec, kb):
             w = 1.0 / len(ib)
             for t in ib:
                 yield f"ib[{slot}]={t}", w
+            # InterTokenTemplate boundary tokens (position-marked)
+            yield f"ib_first[{slot}]={ib[0]}", 1.0
+            if len(ib) >= 2:
+                yield f"ib_last[{slot}]={ib[-1]}", 1.0
     # BOW over the mention surface
     bow = [t for t in _NONWORD.split(c["text"].lower()) if t]
     if bow:
         w = 1.0 / len(bow)
         for t in bow:
             yield f"bow[{slot}]={t}", w
+        # BOWnGramsTemplate word bigrams
+        if len(bow) >= 2:
+            w2 = 1.0 / (len(bow) - 1)
+            for i in range(len(bow) - 1):
+                yield f"bow2[{slot}]={bow[i]} {bow[i + 1]}", w2
     # char 3-grams over #surface#
     mt = "#" + c["text"].lower() + "#"
     if len(mt) >= 3:
@@ -401,10 +424,11 @@ def _doc_stats(roots, cands):
     w_near) for one document's (roots x candidates) pair table."""
     n_roots = len(set(r["root_id"] for r in roots))
     n_ev, n_pairing, mx_ev, nearest = {}, {}, {}, {}
-    occ = {}
+    occ, variety = {}, {}
     for c in cands:
         k = (c["slot_name"], c["obj_id"])
         occ[k] = occ.get(k, 0) + 1
+        variety.setdefault(c["slot_name"], set()).add(c["obj_id"])
     for k, n in occ.items():
         n_ev[k] = n * len(roots)
         n_pairing[k] = n_roots
@@ -419,6 +443,8 @@ def _doc_stats(roots, cands):
     return {
         "n_roots": n_roots, "n_ev": n_ev, "n_pairing": n_pairing,
         "mx_ev": mx_ev, "nearest": nearest,
+        "variety": {s: len(objs) for s, objs in variety.items()},
+        "n_ev_slots": len(variety),
     }
 
 

@@ -110,6 +110,7 @@ def apply_link_map(unknown_tokens: DataFrame, link_map: DataFrame) -> DataFrame:
             "offset",
             "sent_idx",
             F.lit(None).cast("string").alias("dt_value"),
+            F.lit("fuzzy").alias("src"),
         )
     )
 

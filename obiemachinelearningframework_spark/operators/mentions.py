@@ -41,6 +41,9 @@ MENTION_SCHEMA = T.StructType(
         T.StructField("offset", T.IntegerType()),
         T.StructField("sent_idx", T.IntegerType()),
         T.StructField("dt_value", T.StringType()),
+        # provenance: "ner" (dictionary/regex kernel) or "fuzzy" (similarity
+        # linking) — the NERTemplate FoundByNER signal
+        T.StructField("src", T.StringType()),
     ]
 )
 
@@ -94,7 +97,7 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool):
                     type_id if kind == "individual" else None,
                     is_dt, text, m.start(), m.end(),
                     sent_index_of(bounds, m.start()) if bounds else 0,
-                    dt_value,
+                    dt_value, "ner",
                 )
             )
             if want_unknown:
@@ -152,7 +155,7 @@ def detect_mentions(
                     recs.append((doc_key,) + r)
                 for text, on, off, sent in unknowns:
                     recs.append(
-                        (doc_key, UNKNOWN_KIND, None, None, None, False, text, on, off, sent, None)
+                        (doc_key, UNKNOWN_KIND, None, None, None, False, text, on, off, sent, None, None)
                     )
             yield pd.DataFrame(recs, columns=cols)
 

@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("OBIE_DRIVER_MEM", "48g"))
+        # NOTE: a 48g heap regressed local[32] extraction 4-5x (G1 region
+        # management / page churn dominated as system time); 16g keeps GC
+        # flat at every parallelism this sandbox runs. On a real cluster
+        # this is per-executor memory and sized to partition volume.
+        .config("spark.driver.memory", os.environ.get("OBIE_DRIVER_MEM", "16g"))
         .config("spark.driver.extraJavaOptions", os.environ.get("OBIE_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
