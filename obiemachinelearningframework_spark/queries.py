@@ -314,14 +314,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pairs = docs sharing any band bucket (shingle -> minhash -> band ->
     bucket-join), then verified by signature agreement rate."""
     sig = q_minhash_signature(spark, sf_dir)
-    bands = None
-    for b in range(N_MINHASH // 2):
-        band = sig.select(
-            "doc_id",
+    # explode-based banding: ONE scan of the signature aggregate emits all
+    # bands (the unionByName form re-scanned it N_MINHASH/2 times)
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}")).alias("bucket"),
         )
-        bands = band if bands is None else bands.unionByName(band)
+        for b in range(N_MINHASH // 2)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b_ = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
