@@ -67,6 +67,25 @@ def _rng(asset_id: int, seed: int) -> np.random.Generator:
     return np.random.default_rng(np.uint64(asset_id * 2654435761 + seed))
 
 
+def md5_pixels(asset_id: int, n_bytes: int) -> bytes:
+    """Deterministic pseudo-random pixel bytes from md5(asset_id:block) —
+    chosen over the numpy PCG64 stream because an independent SQL engine
+    can recompute md5 hex digits, making decoded-image statistics
+    oracle-able (see queries.q_multimodal_image_stats)."""
+    import hashlib
+
+    out = bytearray()
+    for blk in range((n_bytes + 15) // 16):
+        out += hashlib.md5(f"{asset_id}:{blk}".encode()).digest()
+    return bytes(out[:n_bytes])
+
+
+def encode_md5_image(asset_id: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
+    """RAW image whose pixels are the md5-derived byte stream (same RIMG
+    container as encode_raw_image; only the pixel source differs)."""
+    return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + md5_pixels(asset_id, w * h * c)
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -124,12 +143,14 @@ def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
     """Derive an image-asset table 1:1 from a documents table — payload is a
     deterministic function of doc_id, so any sf_dir yields the same assets
     on every engine/run. Demonstrates binary-column derivation from an
-    existing corpus (the 'render the doc' pattern)."""
+    existing corpus (the 'render the doc' pattern). Pixels come from the
+    md5 byte stream (not the numpy RNG) so the decoded brightness stats
+    are verifiable by the DuckDB oracle."""
     ids = docs.select(F.col("doc_id").cast("long").alias("id"))
 
     def gen(batches):
         for pdf in batches:
-            rows = [(int(i), bytearray(encode_raw_image(int(i), seed))) for i in pdf["id"]]
+            rows = [(int(i), bytearray(encode_md5_image(int(i)))) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "asset_id": [r[0] for r in rows],

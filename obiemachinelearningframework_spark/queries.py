@@ -454,10 +454,12 @@ ORACLES["token_count_bpe"] = SQL_TOKEN_COUNT_BPE
 
 
 def q_multimodal_image_stats(spark, sf_dir):
-    """Multimodal plumbing entry (no SQL oracle — mapInPandas decode is not
-    SQL-expressible): derive a deterministic image asset per document,
-    decode, extract features, and aggregate brightness stats per 16-bucket
-    asset_id band. Exercises binary columns end-to-end on the driver gate."""
+    """Multimodal decode path, oracle-verified end-to-end: derive a
+    deterministic RAW image asset per document (pixels = md5(asset_id:blk)
+    byte stream), decode via the binary-column mapInPandas codec, extract
+    brightness, aggregate per 16-bucket asset_id band. The DuckDB oracle
+    recomputes the same brightness from md5 hex digits — the Spark side
+    exercises the real binary plumbing, the oracle checks the values."""
     from .multimodal import assets_from_documents, decode_images, image_features
 
     assets = assets_from_documents(_docs(spark, sf_dir), seed=7)
@@ -471,7 +473,25 @@ def q_multimodal_image_stats(spark, sf_dir):
     )
 
 
-QUERIES["multimodal_image_stats"] = q_multimodal_image_stats  # rows-only check
+# brightness of an md5-pixel image = mean of the 576 payload bytes; byte j
+# is hex pair (j % 16) of md5('<asset_id>:<j // 16>') — SQL-recomputable
+SQL_MULTIMODAL_IMAGE_STATS = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  blocks AS (SELECT asset_id, unnest(range(0, 36)) AS blk FROM ids),
+  hx AS (SELECT asset_id, md5(CAST(asset_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)) AS h FROM blocks),
+  bytes AS (SELECT asset_id, h, unnest(range(0, 16)) AS i FROM hx),
+  vals AS (SELECT asset_id,
+                  (strpos('0123456789abcdef', substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+  bright AS (SELECT asset_id, round(avg(CAST(v AS DOUBLE)), 6) AS brightness
+             FROM vals GROUP BY asset_id)
+  SELECT asset_id % 16 AS band, count(*) AS n, round(avg(brightness), 4) AS avg_brightness
+  FROM bright GROUP BY band
+"""
+
+QUERIES["multimodal_image_stats"] = q_multimodal_image_stats
+ORACLES["multimodal_image_stats"] = SQL_MULTIMODAL_IMAGE_STATS
 
 
 # ------------------------------------------------- similarity search (ANN)
@@ -807,4 +827,339 @@ ORACLES.update({
     "top_customers": SQL_TOP_CUSTOMERS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+})
+
+
+# ------------------------------------------- OBIE-core operators as queries
+#
+# The candidate-generation / greedy-fill / evaluator / canonicalization
+# operators run in the fixture pipeline under pytest; these entries
+# re-express each one over the driver's documents table so the DuckDB
+# harness ALSO verifies them (VERDICT round 1, "register oracle-paired
+# queries for the OBIE core operators").
+
+def q_candidates_evidence(spark, sf_dir):
+    """Evidence-pruned candidate counts per (doc, slot-range type): a
+    candidate exists ONLY where a text mention exists (the inner join IS
+    ExplorationUtils' early pruning, ExplorationUtils.java:487-489) —
+    per type: mention count and distinct-surface count."""
+    m = q_mentions_dict(spark, sf_dir)
+    return m.groupBy("doc_id", "type_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("token").alias("n_surfaces"),
+    )
+
+
+SQL_CANDIDATES_EVIDENCE = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL})
+  SELECT doc_id, type_id, count(*) AS n_mentions, count(DISTINCT token) AS n_surfaces
+  FROM toks JOIN dict ON token = surface
+  GROUP BY doc_id, type_id
+"""
+
+
+def q_greedy_fill_top1(spark, sf_dir):
+    """Greedy slot filling, relational form: per (doc, slot-range type)
+    rank distinct fillers by evidence frequency and keep the top one —
+    the w_slot window of operators/filler.greedy_fill with frequency as
+    the score (HighFrequencyBaseline semantics per slot)."""
+    m = q_mentions_dict(spark, sf_dir)
+    c = m.groupBy("doc_id", "type_id", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id", "type_id").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "type_id", F.col("token").alias("filler"), "n")
+    )
+
+
+SQL_GREEDY_FILL_TOP1 = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       c AS (SELECT doc_id, type_id, token, count(*) AS n
+             FROM toks JOIN dict ON token = surface
+             GROUP BY doc_id, type_id, token),
+       r AS (SELECT doc_id, type_id, token, n,
+                    row_number() OVER (PARTITION BY doc_id, type_id
+                                       ORDER BY n DESC, token ASC) AS rn
+             FROM c)
+  SELECT doc_id, type_id, token AS filler, n FROM r WHERE rn = 1
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Cross-document canonicalization: connected components (iterative
+    min-id label propagation, operators/canonicalize.connected_components)
+    over the MinHash-LSH near-duplicate pair graph. The oracle recomputes
+    components with a recursive CTE."""
+    from .operators.canonicalize import connected_components
+
+    edges = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+  WITH RECURSIVE
+  sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sig AS (
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+    FROM sh GROUP BY doc_id),
+  bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs),
+  nodes AS (SELECT DISTINCT src AS id FROM edges),
+  reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT reach.id, edges.dst AS r FROM reach JOIN edges ON reach.r = edges.src)
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+# perturbed prediction dictionary for the evaluator queries: two misses
+# (window, vector), one wrong type (query -> Entity), one spurious extra
+# mapping (merge -> System)
+PRED_DICT = [
+    (s, t) for s, t in DICT
+    if (s, t) not in {("window", "Operator"), ("vector", "Dataset"), ("query", "System")}
+] + [("query", "Entity"), ("merge", "System")]
+
+_PRED_DICT_VALUES_SQL = ", ".join(f"('{s}', '{t}')" for s, t in PRED_DICT)
+
+
+def _triples_for_dict(spark, sf_dir, dict_rows):
+    d = spark.createDataFrame(dict_rows, ["surface", "type_id"])
+    t = _tokens(spark, sf_dir)
+    return (
+        t.join(F.broadcast(d), t.token == F.col("surface"))
+        .select(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def q_eval_per_slot_prf(spark, sf_dir):
+    """EvaluatePrediction per-slot breakdown (run/eval/EvaluatePrediction
+    .java:150+) via the REAL operators/evaluator.per_slot_prf: predicted
+    triples from a perturbed dictionary vs gold triples from the true one —
+    per predicate tp/fp/fn and derived rates."""
+    from .operators.evaluator import per_slot_prf
+
+    gold = _triples_for_dict(spark, sf_dir, DICT)
+    pred = _triples_for_dict(spark, sf_dir, PRED_DICT)
+    return per_slot_prf(pred, gold)
+
+
+_EVAL_TRIPLES_SQL = f"""
+  gold AS (
+    SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+           'mentions_' || type_id AS pred, token AS obj
+    FROM toks JOIN gdict ON token = gdict.surface),
+  predt AS (
+    SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+           'mentions_' || type_id AS pred, token AS obj
+    FROM toks JOIN pdict ON token = pdict.surface)
+"""
+
+SQL_EVAL_PER_SLOT_PRF = f"""
+  WITH gdict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       pdict(surface, type_id) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       {_EVAL_TRIPLES_SQL},
+       tp AS (SELECT pred, count(*) AS tp
+              FROM (SELECT * FROM predt INTERSECT SELECT * FROM gold) GROUP BY pred),
+       np AS (SELECT pred, count(*) AS n_pred FROM predt GROUP BY pred),
+       ng AS (SELECT pred, count(*) AS n_gold FROM gold GROUP BY pred),
+       j AS (SELECT coalesce(np.pred, ng.pred) AS pred,
+                    coalesce(tp.tp, 0) AS tp,
+                    coalesce(np.n_pred, 0) AS n_pred,
+                    coalesce(ng.n_gold, 0) AS n_gold
+             FROM np FULL OUTER JOIN ng ON np.pred = ng.pred
+             LEFT JOIN tp ON coalesce(np.pred, ng.pred) = tp.pred),
+       rates AS (
+         SELECT pred, tp, n_pred - tp AS fp, n_gold - tp AS fn,
+                CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+                CASE WHEN n_gold > 0 THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END AS r
+         FROM j)
+  SELECT pred, tp, fp, fn,
+         round(p, 6) AS precision,
+         round(r, 6) AS recall,
+         round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+  FROM rates
+"""
+
+
+def q_eval_micro_prf(spark, sf_dir):
+    """Micro-mean P/R/F1 accumulation over all docs/slots
+    (EvaluatePrediction.java:39-115): one row (tp, fp, fn, precision,
+    recall, f1) for the same pred-vs-gold triple sets."""
+    gold = _triples_for_dict(spark, sf_dir, DICT).select("subj", "pred", "obj")
+    pred = _triples_for_dict(spark, sf_dir, PRED_DICT).select("subj", "pred", "obj")
+    keys = ["subj", "pred", "obj"]
+    tp = pred.join(gold, keys, "inner").agg(F.count("*").alias("tp"))
+    np_ = pred.agg(F.count("*").alias("n_pred"))
+    ng = gold.agg(F.count("*").alias("n_gold"))
+    row = tp.crossJoin(np_).crossJoin(ng)
+    p = F.col("tp") / F.col("n_pred")
+    r = F.col("tp") / F.col("n_gold")
+    return row.select(
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_gold") - F.col("tp")).alias("fn"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+SQL_EVAL_MICRO_PRF = f"""
+  WITH gdict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+       pdict(surface, type_id) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+       toks AS ({_TOKENS_SQL}),
+       {_EVAL_TRIPLES_SQL},
+       agg AS (SELECT
+                 (SELECT count(*) FROM (SELECT * FROM predt INTERSECT SELECT * FROM gold)) AS tp,
+                 (SELECT count(*) FROM predt) AS n_pred,
+                 (SELECT count(*) FROM gold) AS n_gold)
+  SELECT tp, n_pred - tp AS fp, n_gold - tp AS fn,
+         round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+         round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
+         round(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gold)
+               / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gold), 6) AS f1
+  FROM agg
+"""
+
+
+ANN_PLANES = 12    # the bucketed top-k uses a longer code than the
+                   # 8-plane bucket histogram: 12 bits + Hamming-2
+                   # multiprobe admits ~2% of random pairs while keeping
+                   # high recall on clustered data
+PROBE_HAMMING = 2  # multiprobe radius: query probes all buckets within
+                   # Hamming distance 2 of its own (79 of 4096 buckets) —
+                   # single-probe hyperplane LSH loses too many neighbors
+                   # (measured: recall 0.51 even on tightly clustered data)
+
+_PROBE_MASKS = [m for m in range(1 << ANN_PLANES) if bin(m).count("1") <= PROBE_HAMMING]
+
+
+def q_ann_topk_bucketed(spark, sf_dir):
+    """ANN top-k via LSH buckets, wired END-TO-END (the 100-TB similarity
+    path): random-hyperplane bucket per vector (as q_ann_lsh_buckets), then
+    cosine is computed ONLY for pairs whose buckets are within Hamming
+    distance PROBE_HAMMING (multiprobe equi-join on probe id — never
+    all-pairs), top-3 neighbors per query vector. Recall >= 0.9 vs brute
+    force on clustered embeddings is pinned in tests/test_ann_bucketed.py
+    (on near-orthogonal vectors no sub-quadratic scheme separates
+    neighbors from noise; the testdata's top-1 cos is only ~0.36)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    )
+    planes = e.select("vec_id", "d", "v", F.explode(F.sequence(F.lit(0), F.lit(ANN_PLANES - 1))).alias("p"))
+    wgt = (
+        (F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 1, 1)) * 256
+         + F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 2, 1))) / 65536.0 - 0.5
+    )
+    proj = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * wgt).alias("proj"))
+    proj = proj.filter(F.abs("proj") > 1e-6)
+    bucket = proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
+        .cast("long").alias("bucket")
+    )
+    probes = (
+        bucket.select(F.col("vec_id").alias("qid"), "bucket")
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])))
+        .select("qid", F.expr("bucket ^ mask").alias("probe"))
+    )
+    pairs = (
+        probes.join(bucket.select(F.col("vec_id").alias("nid"), F.col("bucket").alias("probe")), "probe")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
+    ea = e.select(F.col("vec_id").alias("qid"), "d", F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("nid"), "d", F.col("v").alias("vb"))
+    dot = (
+        pairs.join(ea, "qid").join(eb, ["nid", "d"])
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    cos = (
+        dot.join(norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("na")), "qid")
+        .join(norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("nb")), "nid")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_ANN_TOPK_BUCKETED = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_PLANES})) AS p FROM e),
+  proj AS (
+    SELECT vec_id, p,
+           sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
+                     + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
+    FROM planes GROUP BY vec_id, p),
+  bucket AS (
+    SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id),
+  probes AS (
+    SELECT vec_id AS qid, xor(bucket, CAST(mask AS BIGINT)) AS probe
+    FROM bucket, (SELECT unnest(range(0, {1 << ANN_PLANES})) AS mask)
+    WHERE bit_count(CAST(mask AS BIGINT)) <= {PROBE_HAMMING}),
+  pairs AS (
+    SELECT DISTINCT p.qid, b.vec_id AS nid
+    FROM probes p JOIN bucket b ON p.probe = b.bucket AND p.qid <> b.vec_id),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  dot AS (
+    SELECT p.qid, p.nid, sum(a.v * b.v) AS dot
+    FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid AND b.d = a.d
+    GROUP BY p.qid, p.nid),
+  cosp AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM dot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid),
+  ranked AS (
+    SELECT qid, nid, cos,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS INT) AS rank
+    FROM cosp)
+  SELECT qid, nid, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES.update({
+    "candidates_evidence": q_candidates_evidence,
+    "greedy_fill_top1": q_greedy_fill_top1,
+    "connected_components": q_connected_components,
+    "eval_per_slot_prf": q_eval_per_slot_prf,
+    "eval_micro_prf": q_eval_micro_prf,
+    "ann_topk_bucketed": q_ann_topk_bucketed,
+})
+ORACLES.update({
+    "candidates_evidence": SQL_CANDIDATES_EVIDENCE,
+    "greedy_fill_top1": SQL_GREEDY_FILL_TOP1,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "eval_per_slot_prf": SQL_EVAL_PER_SLOT_PRF,
+    "eval_micro_prf": SQL_EVAL_MICRO_PRF,
+    "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
 })

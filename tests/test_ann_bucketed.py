@@ -1,0 +1,96 @@
+"""ANN top-k via LSH buckets: end-to-end recall + candidate-reduction.
+
+The bucketed operator (queries.q_ann_topk_bucketed) computes cosine ONLY
+within a hyperplane-LSH bucket — the 100-TB similarity path. Hyperplane
+LSH's recall depends on the data's angular contrast: on clustered
+embeddings (real-world: near-dup documents, same-image crops; cos >= 0.9
+within cluster) recall is high; on near-orthogonal vectors no sub-brute
+scheme separates neighbors from noise (the driver testdata embeddings have
+top-1 cos ~ 0.36; measured single-probe recall there ~ 0.37 — documented,
+not asserted). This test pins the claim that matters for scale: on
+clustered data the operator finds >= 0.9 of brute-force top-3 neighbors
+while scoring only a small fraction of all pairs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from obiemachinelearningframework_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def clustered_sf_dir(spark, tmp_path_factory):
+    rng = np.random.RandomState(17)
+    n_clusters, per_cluster, d = 8, 25, 16
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.normal(0, 1, d)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + 0.05 * rng.normal(0, 1, d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    out = str(tmp_path_factory.mktemp("ann") / "sf")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"])).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def _brute_topk(spark, sf_dir, k=3):
+    pairs = Q._emb_pairs_cosine(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid")
+    )
+
+
+def test_bucketed_recall_on_clustered_embeddings(spark, clustered_sf_dir):
+    bf = _brute_topk(spark, clustered_sf_dir).cache()
+    bk = Q.q_ann_topk_bucketed(spark, clustered_sf_dir).select("qid", "nid")
+    n = bf.count()
+    tp = bf.join(bk, ["qid", "nid"]).count()
+    recall = tp / n
+    assert recall >= 0.9, f"bucketed ANN recall {recall:.3f} < 0.9 on clustered data"
+
+
+def test_bucketed_candidate_reduction(spark, clustered_sf_dir):
+    """The point of bucketing: the multiprobe candidate-pair count (buckets
+    within Hamming distance PROBE_HAMMING) must be a small fraction of the
+    all-pairs count — here 200 vectors -> 39800 directed pairs brute
+    force; the probe join should cut >= 60%."""
+    e = spark.read.parquet(f"{clustered_sf_dir}/embeddings.parquet")
+    n = e.count()
+    all_pairs = n * (n - 1)
+    ex = e.select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
+    planes = ex.select(
+        "vec_id", "d", "v", F.explode(F.sequence(F.lit(0), F.lit(Q.ANN_PLANES - 1))).alias("p")
+    )
+    wgt = (
+        (F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 1, 1)) * 256
+         + F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 2, 1))) / 65536.0 - 0.5
+    )
+    proj = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * wgt).alias("proj")).filter(
+        F.abs("proj") > 1e-6
+    )
+    bucket = proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
+        .cast("long").alias("bucket")
+    )
+    codes = np.array([r["bucket"] for r in bucket.collect()], dtype=np.int64)
+    x = codes[:, None] ^ codes[None, :]
+    ham = np.zeros_like(x)
+    for _ in range(Q.ANN_PLANES):
+        ham += x & 1
+        x >>= 1
+    cand_pairs = int((ham <= Q.PROBE_HAMMING).sum()) - len(codes)  # minus self-pairs
+    assert cand_pairs <= 0.4 * all_pairs, (
+        f"bucketing scored {cand_pairs}/{all_pairs} pairs — no reduction"
+    )

@@ -13,7 +13,7 @@ from obiemachinelearningframework_spark.multimodal import (
     resize_images,
     synthesize_assets,
 )
-from obiemachinelearningframework_spark.multimodal.assets import encode_raw_image
+from obiemachinelearningframework_spark.multimodal.assets import encode_md5_image, encode_raw_image
 from obiemachinelearningframework_spark.multimodal.decode import DECODERS, _decode_raw_image
 
 
@@ -108,5 +108,6 @@ def test_assets_from_documents(spark):
     a = assets_from_documents(docs, seed=7)
     assert a.count() == docs.count()
     r = a.filter("asset_id = 1").collect()[0]
-    assert bytes(r.payload) == encode_raw_image(1, 7)
+    # payloads are md5-pixel images (oracle-recomputable brightness)
+    assert bytes(r.payload) == encode_md5_image(1)
     assert "raw-img" in DECODERS
