@@ -147,7 +147,7 @@ def scaling() -> None:
     (the BASELINE.json north-rule evidence).
 
     The measured job is the fused extraction kernel over a saturated
-    corpus (OBIE_SCALING_DOCS, default 48000 docs): a map-only plan whose
+    corpus (OBIE_SCALING_DOCS, default 96000 docs): a map-only plan whose
     wall time is dominated by per-document compute, the regime a
     1000-executor job runs in. The headline micro-suite is skipped in
     these subprocesses (OBIE_SCALING_ONLY=1) — 0.2-6 s queries measure
@@ -156,7 +156,7 @@ def scaling() -> None:
         int(x) for x in os.environ.get("OBIE_SCALING_CPUS", "8,32").split(",")
     )
     runs: dict[int, list] = {lo: [], hi: []}
-    scaling_docs = os.environ.get("OBIE_SCALING_DOCS", "48000")
+    scaling_docs = os.environ.get("OBIE_SCALING_DOCS", "96000")
     repeats = int(os.environ.get("OBIE_SCALING_REPEATS", "3"))
     # interleave the two configs and repeat: the sandbox VM suffers bursty
     # hypervisor steal (3-4x wall-time swings), so a single A-then-B pass

@@ -70,14 +70,29 @@ def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
     # individuals. A root mention strictly contained in a longer root
     # mention is a partial match of the wrong entity — suppress it (the
     # overlap filter of EntityRecognitionExplorer.java:169-187).
-    a, b = m.alias("a"), m.alias("b")
-    contained = (
-        (F.col("a.doc_key") == F.col("b.doc_key"))
-        & (F.col("b.onset") <= F.col("a.onset"))
-        & (F.col("a.offset") <= F.col("b.offset"))
-        & ((F.col("b.offset") - F.col("b.onset")) > (F.col("a.offset") - F.col("a.onset")))
+    #
+    # Exact interval-containment via running-max windows, NOT a per-doc
+    # O(m^2) self-join: span a is strictly contained iff some span b has
+    # (b.onset < a.onset AND b.offset >= a.offset) — automatically longer —
+    # or (b.onset == a.onset AND b.offset > a.offset). The first term is a
+    # RANGE-frame max over earlier onsets; the second a per-onset max.
+    w_prev = (
+        W.partitionBy("doc_key")
+        .orderBy("onset")
+        .rangeBetween(W.unboundedPreceding, -1)
     )
-    m = a.join(b, contained, "left_anti")
+    w_same = W.partitionBy("doc_key", "onset")
+    m = (
+        m.withColumn("_max_off_prev", F.max("offset").over(w_prev))
+        .withColumn("_max_off_same", F.max("offset").over(w_same))
+        .filter(
+            ~(
+                (F.col("_max_off_prev").isNotNull() & (F.col("_max_off_prev") >= F.col("offset")))
+                | (F.col("_max_off_same") > F.col("offset"))
+            )
+        )
+        .drop("_max_off_prev", "_max_off_same")
+    )
     first = (
         m.groupBy("doc_key", "individual_id")
         .agg(F.min("onset").alias("onset"))

@@ -22,11 +22,97 @@ from __future__ import annotations
 
 from itertools import permutations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-MAX_PERMUTE = 7          # n! explored up to here; greedy matching beyond
+MAX_PERMUTE = 7          # n! explored up to here (reference tie-breaking)
+MAX_ASSIGN = 12          # exact assignment up to here — the reference's
+                         # CartesianSearchEvaluator explores permutations to
+                         # n=12 (:26-39); we find the same optimal F1 in
+                         # O(n^3 log) via Dinkelbach iterations of a
+                         # Hungarian assignment (F1 is a ratio of sums —
+                         # linear-fractional over matchings, not linear, so
+                         # a single tp-max assignment is NOT sufficient:
+                         # e.g. a null-valued datatype node contributes an
+                         # fp under some pairings and none under others)
 MAX_DEPTH = 5            # reference maxEvaluationDepth (project-supplied)
+
+
+def hungarian_max(score: np.ndarray) -> list[int]:
+    """Maximum-weight perfect matching on a square score matrix; returns
+    col index assigned to each row. O(n^3) shortest-augmenting-path
+    algorithm with potentials (Jonker-Volgenant style) on the negated
+    matrix — no scipy in this environment."""
+    n = score.shape[0]
+    cost = (score.max() - score).astype(np.float64)  # minimize
+    INF = float("inf")
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=np.int64)  # p[j] = row matched to col j (1-based)
+    way = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    assign = [0] * n
+    for j in range(1, n + 1):
+        if p[j]:
+            assign[p[j] - 1] = j - 1
+    return assign
+
+
+def assignment_best_f1(pair: dict, n: int):
+    """Exact max-F1 perfect matching over an n x n pair table of
+    (tp, fp, fn) counts — Dinkelbach's algorithm for the linear-fractional
+    objective 2·ΣT / (2·ΣT + ΣFP + ΣFN): iterate λ ← F1(best assignment
+    under weights 2tp - λ(2tp+fp+fn)) until fixpoint; each step is one
+    O(n^3) Hungarian. Converges in a handful of iterations; exact at the
+    fixpoint (standard fractional-programming result)."""
+    t2 = np.array([[2.0 * pair[(i, j)][0] for j in range(n)] for i in range(n)])
+    den = np.array(
+        [[2.0 * pair[(i, j)][0] + pair[(i, j)][1] + pair[(i, j)][2] for j in range(n)]
+         for i in range(n)]
+    )
+    lam, best = 0.0, (0, 0, 0)
+    for _ in range(30):
+        assign = hungarian_max(t2 - lam * den)
+        tp = fp = fn = 0
+        for i, j in enumerate(assign):
+            t = pair[(i, j)]
+            tp, fp, fn = tp + t[0], fp + t[1], fn + t[2]
+        f1 = _prf(tp, fp, fn)
+        best = (tp, fp, fn)
+        if abs(f1 - lam) < 1e-12:
+            break
+        lam = f1
+    return best
 
 
 # ---------------------------------------------------------------- triples
@@ -169,6 +255,10 @@ class TreeComparator:
                     best_f1, best = f1, (tp, fp, fn)
                     if f1 == 1.0:
                         break
+        elif n <= MAX_ASSIGN:
+            # exact optimum without n! — Dinkelbach + Hungarian (asserted
+            # equal to brute-force F1 in tests/test_hungarian_matching.py)
+            best = assignment_best_f1(pair, n)
         else:
             used, tp, fp, fn = set(), 0, 0, 0
             for i in range(n):

@@ -166,17 +166,22 @@ def _doc_roots(mentions, spec, doc_key):
         x for x in mentions
         if x["kind"] == "individual" and x["class_id"] in spec["anchor_classes"]
     ]
-    # longest-match-wins containment suppression
-    kept = []
-    for a in m:
-        contained = any(
-            b["onset"] <= a["onset"]
-            and a["offset"] <= b["offset"]
-            and (b["offset"] - b["onset"]) > (a["offset"] - a["onset"])
-            for b in m
-        )
-        if not contained:
-            kept.append(a)
+    # longest-match-wins containment suppression — same running-max scheme
+    # as propose_roots (O(m log m), not O(m^2)): contained iff a strictly
+    # earlier onset reaches >= my offset, or an equal onset reaches further
+    m.sort(key=lambda x: x["onset"])
+    kept, best_prev, i, n = [], -1, 0, len(m)
+    while i < n:
+        j = i
+        while j < n and m[j]["onset"] == m[i]["onset"]:
+            j += 1
+        group = m[i:j]
+        same_max = max(x["offset"] for x in group)
+        for a in group:
+            if not ((best_prev >= a["offset"]) or (same_max > a["offset"])):
+                kept.append(a)
+        best_prev = max(best_prev, same_max)
+        i = j
     first = {}
     for x in kept:
         cur = first.get(x["individual_id"])
@@ -567,16 +572,18 @@ def py_link_map(tokens, ontology, top_k=None) -> dict:
 
 
 def capitalized_vocabulary(instances: DataFrame, ontology) -> DataFrame:
-    """Distinct capitalized tokens (len >= 4) in the corpus minus exact
-    dictionary surfaces — a JVM-side over-approximation of the unknown
-    surface forms. Over-approximation is sound: the kernel applies the
-    link map only to tokens its own coverage check marks unknown, and
-    build_link_map is per-token independent, so restricting a larger map
+    """Distinct capitalized-token RUNS (each token len >= 4, joined by
+    single spaces) in the corpus minus exact dictionary surfaces — a
+    JVM-side over-approximation of the unknown surface forms. The caller
+    expands each run into its sub-token windows (mirroring the kernel's
+    span enumeration). Over-approximation is sound: the kernel applies the
+    link map only to spans its own coverage check marks unknown, and
+    build_link_map is per-surface independent, so restricting a larger map
     agrees with the map built from the exact unknown set."""
     toks = (
         instances.select(
             F.explode(
-                F.expr(r"regexp_extract_all(content, '\\b[A-Z][a-z]{3,}\\b', 0)")
+                F.expr(r"regexp_extract_all(content, '\\b[A-Z][a-z]{3,}(?: [A-Z][a-z]{3,})*\\b', 0)")
             ).alias("text")
         ).distinct()
     )
@@ -587,6 +594,18 @@ def capitalized_vocabulary(instances: DataFrame, ontology) -> DataFrame:
     return toks.join(
         F.broadcast(surfaces), F.lower(F.col("text")) == F.col("lsf"), "left_anti"
     )
+
+
+def expand_run_windows(runs, max_span: int) -> set:
+    """All <=max_span-token windows of each space-joined capitalized run —
+    the driver-side mirror of the kernel's span enumeration."""
+    out = set()
+    for run in runs:
+        parts = run.split(" ")
+        for width in range(min(len(parts), max_span), 0, -1):
+            for i in range(len(parts) - width + 1):
+                out.add(" ".join(parts[i : i + width]))
+    return out
 
 
 def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
@@ -608,10 +627,12 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         link_rows = link_map_df.select("token", "type_id", "class_id").collect()
         link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
     else:
-        # distinct-token scan stays distributed (corpus-bound); scoring the
-        # vocabulary against the dictionary happens on the driver
-        vocab = [r["text"] for r in capitalized_vocabulary(instances, ontology).collect()]
-        link_map = py_link_map(vocab, ontology)
+        # distinct-run scan stays distributed (corpus-bound); window
+        # expansion + scoring against the dictionary happens on the driver
+        from .mentions import MAX_SPAN_TOKENS
+
+        runs = [r["text"] for r in capitalized_vocabulary(instances, ontology).collect()]
+        link_map = py_link_map(expand_run_windows(runs, MAX_SPAN_TOKENS), ontology)
 
     w = weights_pdf[~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)]
     weights = dict(zip(w.feature, w.weight.astype(float)))

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 TOP_K = 5                 # LuceneRetrieval MAX_NUMBER_OF_CANDIDATES_PER_TOKEN
-MIN_JACCARD = 0.4
+MIN_JACCARD = 0.2         # gram-prefilter only (join pruning); the actual
+                          # similarity gate is MIN_LEV_SIM — a two-token
+                          # surface with one typo per token sits near
+                          # jaccard 0.38 but lev-sim 0.82
 MIN_LEV_SIM = 0.7         # LuceneRetrieval MIN_SCORE_THRESHOLD analog
 
 

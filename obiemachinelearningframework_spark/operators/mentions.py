@@ -59,6 +59,8 @@ def prepare_instances(source_df: DataFrame) -> DataFrame:
 
 UNKNOWN_KIND = "unknown"
 _CAP_TOKEN = re.compile(r"\b[A-Z][a-z]{3,}\b")
+MAX_SPAN_TOKENS = 8  # reference maxTokenPerAnnotation
+                     # (explorer/EntityRecognitionExplorer.java:47)
 
 
 def compile_patterns(pattern_rows):
@@ -105,13 +107,32 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool):
     unknowns = []
     if want_unknown:
         spans.sort()
-        for t in _CAP_TOKEN.finditer(content):
-            on, off = t.start(), t.end()
-            if any(s <= on and off <= e for s, e in spans):
-                continue
-            unknowns.append(
-                (t.group(0), on, off, sent_index_of(bounds, on) if bounds else 0)
-            )
+        # multi-token span enumeration (EntityRecognitionExplorer.java:
+        # 47,150-187): capitalized tokens adjacent across a single space
+        # form runs; every window of <= MAX_SPAN_TOKENS tokens within a run
+        # is an unknown-span candidate (longest spans emitted first), so a
+        # multi-token surface misspelled in EVERY token can still fuzzy-link
+        # as one span. Windows fully covered by a detected mention are
+        # skipped (the explorer's overlap filter).
+        caps = [(t.start(), t.end(), t.group(0)) for t in _CAP_TOKEN.finditer(content)]
+        runs, cur = [], []
+        for c in caps:
+            if cur and not (c[0] == cur[-1][1] + 1 and content[cur[-1][1]] == " "):
+                runs.append(cur)
+                cur = []
+            cur.append(c)
+        if cur:
+            runs.append(cur)
+        for run in runs:
+            nrun = len(run)
+            for width in range(min(nrun, MAX_SPAN_TOKENS), 0, -1):
+                for i in range(nrun - width + 1):
+                    on, off = run[i][0], run[i + width - 1][1]
+                    if any(s <= on and off <= e for s, e in spans):
+                        continue
+                    unknowns.append(
+                        (content[on:off], on, off, sent_index_of(bounds, on) if bounds else 0)
+                    )
     return rows, unknowns
 
 

@@ -16,6 +16,67 @@ from itertools import chain
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .filler import ASSIGNMENT_COLS
+
+
+# ------------------------------------------------------ state initializers
+#
+# The reference seeds the sampler with EMPTY / RANDOM / WRONG /
+# FULL_CORRECT states (``variables/OBIEState.java:263-308``,
+# ``run/utils/SlotTemplateInstantiationUtils.java:44-76``). Relationally a
+# seed is an assignment-row DataFrame handed to ``beam.beam_fill`` as
+# ``initial_state``; all seeds draw from the candidate universe (the pair
+# table), as the reference's explorers only ever assign candidate fillers.
+
+
+def init_state_empty(spark, pairs_with_scores: DataFrame) -> DataFrame:
+    """EMPTY: no annotations (the prediction default)."""
+    return spark.createDataFrame([], pairs_with_scores.select(*ASSIGNMENT_COLS).schema)
+
+
+def _pick_per_slot(pairs_with_scores: DataFrame, order_cols) -> DataFrame:
+    w = W.partitionBy("doc_key", "root_id", "slot_name").orderBy(*order_cols)
+    return (
+        pairs_with_scores.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(*ASSIGNMENT_COLS)
+    )
+
+
+def init_state_random(pairs_with_scores: DataFrame, seed: int = 100) -> DataFrame:
+    """RANDOM: one uniformly-chosen candidate per (doc, root, slot) —
+    seeded hash order, deterministic (the reference's rndForSampling is
+    unseeded; we pin, per SURVEY §4#8)."""
+    h = F.xxhash64(F.lit(seed), "doc_key", "root_id", "slot_name", "obj_id", "onset")
+    return _pick_per_slot(pairs_with_scores, [h.asc()])
+
+
+def init_state_wrong(pairs_with_scores: DataFrame) -> DataFrame:
+    """WRONG: the LOWEST-scoring candidate per (doc, root, slot) — the
+    adversarial seed; beam_fill's removal/replace accepts must recover the
+    greedy fixed point from it (tests/test_beam_checkpoint.py)."""
+    return _pick_per_slot(
+        pairs_with_scores, [F.asc("score"), F.desc("onset"), F.desc("obj_id")]
+    )
+
+
+def init_state_full_correct(pairs_with_scores: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """FULL_CORRECT: candidate rows whose (root, slot, obj) is a gold
+    triple — one row per gold assignment (earliest occurrence)."""
+    g = gold_triples.select(
+        "doc_key",
+        F.col("subj").alias("root_id"),
+        F.col("pred").alias("slot_name"),
+        F.col("obj").alias("obj_id"),
+    ).dropDuplicates()
+    hit = pairs_with_scores.join(
+        F.broadcast(g), ["doc_key", "root_id", "slot_name", "obj_id"], "left_semi"
+    )
+    w = W.partitionBy("doc_key", "root_id", "slot_name", "obj_id").orderBy("onset", "offset")
+    return (
+        hit.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").select(*ASSIGNMENT_COLS)
+    )
+
 
 def assignments_to_nodes(assignments: DataFrame, ontology) -> DataFrame:
     """Flattened slot assignments -> prediction node trees (evaluator input)."""

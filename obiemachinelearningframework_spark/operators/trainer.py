@@ -133,6 +133,144 @@ def train_weights(
     return pd.concat([out, pd.DataFrame(th_rows, columns=["feature", "weight"])], ignore_index=True)
 
 
+def train_weights_distributed(
+    features: DataFrame,
+    labels: DataFrame,
+    iters: int = 200,
+    l2: float = 1e-4,
+) -> pd.DataFrame:
+    """Distributed trainer: same contract as ``train_weights`` (returns a
+    (feature, weight) table incl. per-slot threshold pseudo-features) with
+    NO corpus-sized driver collect — ``fit(instances)`` on an arbitrarily
+    large corpus stays executor-side.
+
+    * feature vocabulary = distinct training features (model-sized collect;
+      the reference's train-only admission, InstanceCollection.java:44-50 —
+      unseen features get no weight = inner join at scoring time);
+    * per-pair sparse vectors assembled executor-side, fed to Spark ML
+      LogisticRegression (JVM L-BFGS with treeAggregate — the map-side
+      partial gradient aggregation the reference's SGD cannot do);
+    * class balance via weightCol (mirrors train_weights' sample_w);
+    * per-slot threshold calibration as a WINDOW-based F1 sweep over the
+      scored training pairs (the numpy argmax sweep re-expressed with
+      cumulative sums — no driver collect of the pair table).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql import Window as W
+
+    spark = features.sparkSession
+    vocab = sorted(r["feature"] for r in features.select("feature").distinct().collect())
+    m = len(vocab)
+    vocab_df = spark.createDataFrame(
+        [(f, j) for j, f in enumerate(vocab)], ["feature", "fidx"]
+    )
+
+    lab = labels.select("pair_id", "slot_name", "label")
+    counts = lab.agg(
+        F.sum("label").alias("pos"), F.count("*").alias("n")
+    ).collect()[0]
+    pos = max(float(counts["pos"]), 1.0)
+    neg = max(float(counts["n"]) - float(counts["pos"]), 1.0)
+    # balance classes, then normalize to mean 1 exactly like train_weights
+    w_pos, w_neg = neg / pos, 1.0
+    mean_w = (w_pos * pos + w_neg * neg) / float(counts["n"])
+
+    # vocabulary index via broadcast join (JVM-side; the inner join IS the
+    # train-only admission filter)
+    idx_feats = features.join(F.broadcast(vocab_df), "feature")
+    # deterministic sparse assembly: per pair, (idx, value) sorted by idx;
+    # duplicate feature emissions per pair are summed (matches the numpy
+    # path's bincount over repeated (row, col) entries)
+    grouped = (
+        idx_feats.groupBy("pair_id", "fidx")
+        .agg(F.sum("value").alias("v"))
+        .groupBy("pair_id")
+        .agg(F.sort_array(F.collect_list(F.struct("fidx", "v"))).alias("ivs"))
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(ivs):
+        return SparseVector(m, [x["fidx"] for x in ivs], [float(x["v"]) for x in ivs])
+
+    data = (
+        grouped.join(lab, "pair_id")
+        .select(
+            "pair_id", "slot_name", "label",
+            to_vec("ivs").alias("fvec"),
+            (F.when(F.col("label") > 0.5, F.lit(w_pos)).otherwise(F.lit(w_neg)) / F.lit(mean_w)
+             ).alias("sample_w"),
+        )
+        .cache()
+    )
+
+    lr = LogisticRegression(
+        featuresCol="fvec", labelCol="label", weightCol="sample_w",
+        maxIter=iters, regParam=l2, elasticNetParam=0.0,
+        standardization=False, fitIntercept=False,
+    )
+    model = lr.fit(data)
+    coef = model.coefficients.toArray()
+    w_pdf = pd.DataFrame({"feature": vocab, "weight": coef})
+
+    # threshold calibration: margin per pair via the model, then the
+    # vectorized F1 sweep as window cumulative sums per slot
+    wmap = spark.createDataFrame(w_pdf)
+    margins = (
+        features.join(F.broadcast(wmap), "feature")
+        .groupBy("pair_id")
+        .agg(F.sum(F.col("value") * F.col("weight")).alias("margin"))
+        .join(lab, "pair_id")
+    )
+    w_ord = W.partitionBy("slot_name").orderBy(F.desc("margin"), F.asc("pair_id"))
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_slot = W.partitionBy("slot_name")
+    sweep = (
+        margins.withColumn("k", F.row_number().over(w_ord))
+        .withColumn("cum_tp", F.sum("label").over(w_cum))
+        .withColumn("total_pos", F.sum("label").over(w_slot))
+        .withColumn("n_rows", F.count("*").over(w_slot))
+        .withColumn("next_margin", F.lead("margin").over(w_ord))
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("cum_tp") > 0,
+                2 * F.col("cum_tp")
+                / F.greatest(
+                    2 * F.col("cum_tp") + (F.col("k") - F.col("cum_tp"))
+                    + (F.col("total_pos") - F.col("cum_tp")),
+                    F.lit(1.0),
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    best = (
+        sweep.withColumn("max_margin", F.max("margin").over(w_slot))
+        .withColumn(
+            "rb", F.row_number().over(W.partitionBy("slot_name").orderBy(F.desc("f1"), F.asc("k")))
+        )
+        .filter("rb = 1")
+        .select(
+            "slot_name",
+            # mirror train_weights' edge cases: no positive F1 anywhere ->
+            # predict nothing (above the max margin); best cut at the end ->
+            # predict everything (below the last margin)
+            F.when(F.col("f1") <= 0.0, F.col("max_margin") + 1.0)
+            .when(F.col("k") < F.col("n_rows"), (F.col("margin") + F.col("next_margin")) / 2.0)
+            .otherwise(F.col("margin") - 1.0)
+            .alias("threshold"),
+        )
+    )
+    th_rows = [
+        (f"{THRESHOLD_PREFIX}[{r['slot_name']}]", float(r["threshold"]))
+        for r in best.collect()
+    ]
+    data.unpersist()
+    return pd.concat(
+        [w_pdf, pd.DataFrame(th_rows, columns=["feature", "weight"])], ignore_index=True
+    )
+
+
 def thresholds_from_weights(weights: pd.DataFrame) -> dict:
     th = {}
     for r in weights.itertuples():

@@ -26,13 +26,22 @@ from ..operators.triples import materialize_triples
 
 
 class OBIEPipeline:
-    def __init__(self, spark, ontology, min_ner_length: int = 2, fuzzy_linking: bool = True):
+    def __init__(self, spark, ontology, min_ner_length: int = 2, fuzzy_linking: bool = True,
+                 trainer: str = "auto"):
+        """``trainer``: 'numpy' (driver full-batch GD — exact, for
+        fixture-sized training samples), 'distributed' (Spark ML L-BFGS
+        over executor-assembled sparse vectors — no corpus-sized driver
+        collect), or 'auto' (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled
+        pairs, distributed beyond)."""
         self.spark = spark
         self.ontology = ontology
         self.min_ner_length = min_ner_length
         self.fuzzy_linking = fuzzy_linking
+        self.trainer = trainer
         self.weights: pd.DataFrame | None = None
         self.thresholds: dict = {}
+
+    TRAIN_COLLECT_MAX_PAIRS = 200_000
 
     # ---------------------------------------------------------------- stages
 
@@ -101,7 +110,21 @@ class OBIEPipeline:
         pairs = build_pairs(roots, candidates, inst).cache()
         feats = compute_features(pairs, self.ontology)
         labels = label_pairs(pairs, gold_triples)
-        self.weights = train_weights(feats, labels)
+        mode = self.trainer
+        if mode == "auto":
+            # the labeled-pair count decides whether a driver collect is
+            # safe; the count itself runs on the (cached-pairs) plan
+            mode = (
+                "numpy"
+                if labels.count() <= self.TRAIN_COLLECT_MAX_PAIRS
+                else "distributed"
+            )
+        if mode == "distributed":
+            from ..operators.trainer import train_weights_distributed
+
+            self.weights = train_weights_distributed(feats, labels)
+        else:
+            self.weights = train_weights(feats, labels)
         self.thresholds = thresholds_from_weights(self.weights)
         for c in [mentions, pairs, *caches]:
             c.unpersist()

@@ -309,10 +309,18 @@ SQL_MINHASH_SIGNATURE = f"""
 """
 
 
+MAX_BUCKET_DOCS = 50   # LSH hot-bucket cap: a band bucket holding > N docs
+                       # is a degenerate collision (boilerplate shingle set);
+                       # joining it costs O(N^2) pairs for near-zero yield —
+                       # standard LSH practice is to skip it. Applied
+                       # identically in Spark and the SQL oracle.
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding: 4 bands x 2 rows; near-duplicate candidate
     pairs = docs sharing any band bucket (shingle -> minhash -> band ->
-    bucket-join), then verified by signature agreement rate."""
+    bucket-join, hot buckets capped at MAX_BUCKET_DOCS), then verified by
+    signature agreement rate."""
     sig = q_minhash_signature(spark, sf_dir)
     # explode-based banding: ONE scan of the signature aggregate emits all
     # bands (the unionByName form re-scanned it N_MINHASH/2 times)
@@ -325,6 +333,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ])
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+    bands = bands.join(
+        sizes.filter(F.col("_bn") <= MAX_BUCKET_DOCS).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
     )
     a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b_ = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
@@ -341,8 +355,13 @@ SQL_DEDUP_MINHASH_LSH = f"""
   sig AS (
     SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
     FROM sh GROUP BY doc_id),
-  bands AS (
+  bands0 AS (
     {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  ),
+  bands AS (
+    SELECT bands0.* FROM bands0
+    JOIN (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+          HAVING count(*) <= {MAX_BUCKET_DOCS}) ok USING (band, bucket)
   )
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -374,12 +393,24 @@ SQL_SIMHASH = f"""
 """
 
 
+SHINGLE_DF_CAP = 100   # hot-shingle cap: a shingle present in > N docs is
+                       # boilerplate and explodes the self-join (N^2 rows per
+                       # shingle) while adding no discriminative signal —
+                       # drop it from the profiles on BOTH engines (standard
+                       # document-frequency pruning).
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (>= 0.8) — the verify stage that
     follows LSH candidate generation (JaccardRetrieval semantics applied
     doc-to-doc). The equi-join on shingles IS the bucketing: only pairs
-    sharing a shingle are scored."""
-    sh = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sharing a shingle are scored; shingles above SHINGLE_DF_CAP document
+    frequency are pruned first (hot-key hardening)."""
+    sh0 = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    freq = sh0.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sh = sh0.join(
+        freq.filter(F.col("_df") <= SHINGLE_DF_CAP).select("shingle"), "shingle", "left_semi"
+    )
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -398,7 +429,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  WITH sh0 AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sh AS (SELECT * FROM sh0 WHERE shingle IN (
+           SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP})),
   size_ AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
   common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -908,8 +941,13 @@ SQL_CONNECTED_COMPONENTS = f"""
   sig AS (
     SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
     FROM sh GROUP BY doc_id),
-  bands AS (
+  bands0 AS (
     {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  ),
+  bands AS (
+    SELECT bands0.* FROM bands0
+    JOIN (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+          HAVING count(*) <= {MAX_BUCKET_DOCS}) ok USING (band, bucket)
   ),
   pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -52,9 +52,9 @@ def test_checkpoint_resume_idempotent(ctx, tmp_path):
     resumed = beam_fill(ctx["pairs"], onto, th, checkpointer=ck1)
     assert _key_set(resumed) == full_keys
 
-    # lineage + manifests exist for every committed iteration
-    assert ck1.exists("beam_s0_team")
-    m = ck1.manifest("beam_s0_team")
+    # lineage + manifests exist for every committed sweep
+    assert ck1.exists("beam_s0")
+    m = ck1.manifest("beam_s0")
     assert m["rows"] >= 0 and "schema" in m
 
 
@@ -68,3 +68,32 @@ def test_checkpointer_atomic_commit(spark, tmp_path):
     assert ck.manifest("s1")["rows"] == 100
     again = ck.get_or_compute("s1", lambda: (_ for _ in ()).throw(AssertionError("must not recompute")))
     assert again.count() == 100
+
+
+def test_beam_recovers_from_wrong_seed(ctx):
+    """Removal/replace proposals: seeded with the WRONG initializer (the
+    lowest-scoring candidate per slot, OBIEState.java:263-308), the sweep
+    loop must strictly-accept its way back to the greedy fixed point —
+    spurious assignments are NOT permanent."""
+    from obiemachinelearningframework_spark.operators.states import (
+        init_state_full_correct,
+        init_state_random,
+        init_state_wrong,
+    )
+
+    onto = ctx["corpus"]["ontology"]
+    th = ctx["pipe"].thresholds
+    g = _key_set(greedy_fill(ctx["pairs"], onto, th))
+
+    wrong = init_state_wrong(ctx["pairs"])
+    assert _key_set(wrong) != g  # the seed really is a different state
+    b_wrong = beam_fill(ctx["pairs"], onto, th, initial_state=wrong)
+    assert _key_set(b_wrong) == g
+
+    rnd = init_state_random(ctx["pairs"], seed=100)
+    b_rnd = beam_fill(ctx["pairs"], onto, th, initial_state=rnd)
+    assert _key_set(b_rnd) == g
+
+    gold = ctx["spark"].createDataFrame(ctx["corpus"]["gold_triples"])
+    fc = init_state_full_correct(ctx["pairs"], gold)
+    assert _key_set(fc)  # non-empty seed

@@ -33,3 +33,48 @@ def test_fuzzy_links_unseen_typos(spark):
     )
     if len(merged):
         assert (merged.individual_id_pred == merged.individual_id_gold).mean() >= 0.95
+
+
+def test_multi_token_misspelled_span_links(spark):
+    """A two-token surface misspelled in BOTH tokens must link as one span
+    (EntityRecognitionExplorer's 8->1 span enumeration, reduced here to the
+    fuzzy-similarity gate): 'Jonaz Vargo' -> player_jonas_varga."""
+    from obiemachinelearningframework_spark.fixtures.ontology import soccer_ontology
+    from obiemachinelearningframework_spark.operators.mentions import detect_mentions, UNKNOWN_KIND
+    from obiemachinelearningframework_spark.operators.linking import fuzzy_link_tokens
+    from pyspark.sql import functions as F
+
+    ont = soccer_ontology()
+    assert (ont.dictionary.surface_form == "jonas varga").any()
+    content = "The match report praised Jonaz Vargo for a great season."
+    inst = spark.createDataFrame([("d1", content)], ["doc_key", "content"])
+    raw = detect_mentions(inst, ont, emit_unknown=True)
+    unknown = raw.filter(F.col("kind") == UNKNOWN_KIND).select(
+        "doc_key", "text", "onset", "offset", "sent_idx"
+    )
+    texts = {r["text"] for r in unknown.collect()}
+    assert "Jonaz Vargo" in texts           # the 2-token span was enumerated
+    linked = fuzzy_link_tokens(unknown, ont, spark).collect()
+    by_ind = {r["individual_id"]: r for r in linked}
+    assert "player_jonas_varga" in by_ind, [r.asDict() for r in linked]
+    r = by_ind["player_jonas_varga"]
+    assert content[r["onset"]:r["offset"]] == "Jonaz Vargo"
+
+
+def test_fused_link_map_covers_multi_token_spans(spark):
+    """The fused kernel's driver-built link map (run scan + window
+    expansion) must agree with the relational path on the same span."""
+    from obiemachinelearningframework_spark.fixtures.ontology import soccer_ontology
+    from obiemachinelearningframework_spark.operators.fused import (
+        capitalized_vocabulary, expand_run_windows, py_link_map,
+    )
+    from obiemachinelearningframework_spark.operators.mentions import MAX_SPAN_TOKENS
+
+    ont = soccer_ontology()
+    inst = spark.createDataFrame(
+        [("d1", "Jonaz Vargo and Mateo Silva signed today.")], ["doc_key", "content"]
+    )
+    runs = [r["text"] for r in capitalized_vocabulary(inst, ont).collect()]
+    assert any(" " in r for r in runs)
+    lm = py_link_map(expand_run_windows(runs, MAX_SPAN_TOKENS), ont)
+    assert lm.get("jonaz vargo", (None, None))[0] == "player_jonas_varga"
