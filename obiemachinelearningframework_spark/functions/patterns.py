@@ -150,6 +150,22 @@ def compile_pattern_table(ontology, min_token_length: int = 3) -> list[dict]:
         for pat in pats:
             rows.append({"type_id": class_id, "kind": "class", "class_id": class_id,
                          "is_datatype": True, "pattern": pat})
+    # auxiliary-class pattern extension (ner/regex/AbstractRegExNERL.java:
+    # 251-282): auxiliary classes carry no meaningful name of their own, so
+    # they INHERIT the patterns of their slot-range classes — a mention of
+    # a related class also evidences the auxiliary class
+    aux_classes = set(cls[cls.is_auxiliary].class_id)
+    if aux_classes:
+        by_class: dict = {}
+        for r in rows:
+            if r["kind"] == "class":
+                by_class.setdefault(r["class_id"], []).append(r["pattern"])
+        for aux in sorted(aux_classes):
+            related = ontology.slots[ontology.slots.owner_class_id == aux].range_class_id
+            for rng in related:
+                for pat in by_class.get(rng, []):
+                    rows.append({"type_id": aux, "kind": "class", "class_id": aux,
+                                 "is_datatype": False, "pattern": pat})
     # dedupe identical (type, pattern) pairs
     seen = set()
     out = []

@@ -44,6 +44,38 @@ def _descendants(ontology, class_id: str) -> list[str]:
     return ontology.subclasses_of(class_id)
 
 
+def is_differentiable_to_all_siblings(ontology, class_id: str, slot_supertype: str) -> bool:
+    """``ExplorationUtils.isDifferentiableToAllSiblingClasses``
+    (``explorer/utils/ExplorationUtils.java:709-761``): a class is
+    differentiable iff it is not a datatype, its slot supertype is not
+    auxiliary, it HAS direct siblings, and against EVERY sibling it owns at
+    least one non-datatype slot the sibling lacks. Differentiable classes
+    may be proposed without textual evidence — their slot structure alone
+    identifies them."""
+    cls = ontology.classes.set_index("class_id")
+    if class_id not in cls.index:
+        return False
+    row = cls.loc[class_id]
+    if bool(row.is_datatype):
+        return False
+    if slot_supertype in cls.index and bool(cls.loc[slot_supertype].is_auxiliary):
+        return False
+    parent = row.parent_class_id
+    siblings = [
+        c for c in cls[cls.parent_class_id == parent].index
+        if c != class_id and parent is not None
+    ]
+    if not siblings:
+        return False
+    slots = ontology.slots
+    my = set(slots[(slots.owner_class_id == class_id) & (~slots.is_datatype)].slot_name)
+    for sib in siblings:
+        sib_slots = set(slots[(slots.owner_class_id == sib) & (~slots.is_datatype)].slot_name)
+        if not (my - sib_slots):
+            return False
+    return True
+
+
 def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
     """One root annotation per distinct grounding individual per document,
     anchored at its earliest mention; ``next_root_onset`` (the onset of the
@@ -111,13 +143,27 @@ def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
     return roots.withColumn("next_root_onset", F.lead("onset").over(w))
 
 
-def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
-    """Per-document slot-filler candidates for every slot of the root class."""
+def generate_candidates(mentions: DataFrame, ontology,
+                        no_evidence_classes: frozenset = frozenset(),
+                        restrict_slots: frozenset | None = None) -> DataFrame:
+    """Per-document slot-filler candidates for every slot of the root class.
+
+    ``no_evidence_classes`` — the reference's
+    ``exploreClassesWithoutTextualEvidence`` whitelist: those classes (and
+    classes differentiable to all their siblings,
+    ``ExplorationUtils.java:405-416``) get ONE evidence-free candidate per
+    document (onset = -1, no textual anchor) instead of per-mention
+    candidates. ``restrict_slots`` — InvestigationRestriction
+    (``variables/OBIEState.java:232-261``): only the listed slots are
+    explored; None explores all."""
     root_cls = ontology.root_class_id
     slots = ontology.slots[ontology.slots.owner_class_id == root_cls]
+    if restrict_slots is not None:
+        slots = slots[slots.slot_name.isin(restrict_slots)]
     classes = ontology.classes.set_index("class_id")
     parts: list[DataFrame] = []
     empty_aux = F.create_map().cast("map<string,string>")
+    doc_keys = mentions.select("doc_key").distinct()
 
     for s in slots.itertuples():
         rng = s.range_class_id
@@ -167,7 +213,34 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
             )
         else:
             proper = [d for d in desc if d != rng]
-            m = base.filter((F.col("kind") == "class") & F.col("class_id").isin(proper))
+            # evidence-free classes (whitelisted or sibling-differentiable,
+            # ExplorationUtils.java:405-416): one candidate per document
+            # anchored at onset -1; the rest stay evidence-gated
+            free = [
+                c for c in proper
+                if c in no_evidence_classes
+                or is_differentiable_to_all_siblings(ontology, c, rng)
+            ]
+            for c in free:
+                parts.append(
+                    doc_keys.select(
+                        "doc_key",
+                        F.lit(s.slot_name).alias("slot_name"),
+                        F.lit("cls").alias("slot_kind"),
+                        F.lit(c).alias("class_id"),
+                        F.lit(None).cast("string").alias("individual_id"),
+                        F.lit(None).cast("string").alias("dt_value"),
+                        F.lit(c).alias("obj_id"),
+                        F.lit(c).alias("text"),
+                        F.lit(-1).alias("onset"),
+                        F.lit(-1).alias("offset"),
+                        F.lit(0).alias("sent_idx"),
+                        F.lit("schema").alias("src"),
+                        empty_aux.alias("aux_values"),
+                    )
+                )
+            gated = [c for c in proper if c not in free]
+            m = base.filter((F.col("kind") == "class") & F.col("class_id").isin(gated))
             w = W.partitionBy("doc_key", "class_id", "onset").orderBy("offset")
             m = m.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
             parts.append(
@@ -185,6 +258,13 @@ def generate_candidates(mentions: DataFrame, ontology) -> DataFrame:
                 )
             )
 
+    if not parts:  # InvestigationRestriction excluded every slot
+        schema = (
+            "doc_key string, slot_name string, slot_kind string, class_id string, "
+            "individual_id string, dt_value string, obj_id string, text string, "
+            "onset int, offset int, sent_idx int, src string, aux_values map<string,string>"
+        )
+        return mentions.sparkSession.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

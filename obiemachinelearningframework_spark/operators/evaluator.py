@@ -88,6 +88,29 @@ def hungarian_max(score: np.ndarray) -> list[int]:
     return assign
 
 
+def beam_match(pair: dict, n: int, beam_width: int = 10):
+    """``BeamSearchEvaluator`` (evaluation/evaluator/BeamSearchEvaluator
+    .java:24-62): assignment built left-to-right keeping the best
+    ``beam_width`` partial assignments by F1 — the parameterized-quality
+    alternative to the exact matchers for very large lists."""
+    beams = [((0, 0, 0), frozenset())]
+    for i in range(n):
+        nxt = []
+        for counts, used in beams:
+            for j in range(n):
+                if j in used:
+                    continue
+                t = pair[(i, j)]
+                c = (counts[0] + t[0], counts[1] + t[1], counts[2] + t[2])
+                nxt.append((c, used | {j}))
+        # F1 is not additive, so partials with the same used-set but
+        # different per-row pairings must BOTH survive if the beam allows —
+        # truncate by current F1 only (deterministic tie order)
+        nxt.sort(key=lambda b: (-_prf(*b[0]), sorted(b[1]), b[0]))
+        beams = nxt[:beam_width]
+    return max(beams, key=lambda b: _prf(*b[0]))[0]
+
+
 def assignment_best_f1(pair: dict, n: int):
     """Exact max-F1 perfect matching over an n x n pair table of
     (tp, fp, fn) counts — Dinkelbach's algorithm for the linear-fractional
@@ -167,10 +190,23 @@ class TreeComparator:
     """compareObjectWise semantics with per-pair memoization."""
 
     def __init__(self, datatype_classes: frozenset, list_slots: frozenset,
-                 ignore_empty: bool = False):
+                 ignore_empty: bool = False, restrict_slots: frozenset | None = None,
+                 matcher: str = "exact", beam_width: int = 10):
+        """``restrict_slots`` — InvestigationRestriction
+        (``variables/OBIEState.java:232-261,378-411``): when set, only the
+        listed slot names are compared/recursed; others are invisible to
+        the evaluation, exactly as restricted slots are invisible to the
+        reference's explorers and evaluator.
+
+        ``matcher`` — 'exact' (CartesianSearchEvaluator: permutations to
+        MAX_PERMUTE, Dinkelbach+Hungarian to MAX_ASSIGN, greedy beyond) or
+        'beam' (BeamSearchEvaluator.java:24-62 with ``beam_width``)."""
         self.dt = datatype_classes
         self.list_slots = list_slots
         self.ignore_empty = ignore_empty
+        self.restrict_slots = restrict_slots
+        self.matcher = matcher
+        self.beam_width = beam_width
         self._memo: dict = {}
 
     def compare(self, gold: dict | None, pred: dict | None, depth: int = 0):
@@ -220,7 +256,10 @@ class TreeComparator:
             return (tp, fp, fn)
         g_slots = gold["slots"] if gold else {}
         p_slots = pred["slots"] if pred else {}
-        for slot in set(g_slots) | set(p_slots):
+        slot_set = set(g_slots) | set(p_slots)
+        if self.restrict_slots is not None:
+            slot_set &= self.restrict_slots
+        for slot in slot_set:
             gl = g_slots.get(slot, [])
             pl = p_slots.get(slot, [])
             if slot in self.list_slots:
@@ -243,6 +282,8 @@ class TreeComparator:
         for i in range(n):
             for j in range(n):
                 pair[(i, j)] = self.compare(g[i], p[j], depth)
+        if self.matcher == "beam" and n > 1:
+            return beam_match(pair, n, self.beam_width)
         best, best_f1 = None, -1.0
         if n <= MAX_PERMUTE:
             for perm in permutations(range(n)):
@@ -274,15 +315,18 @@ class TreeComparator:
 
 
 def compare_documents(gold_roots: list, pred_roots: list,
-                      datatype_classes: frozenset, list_slots: frozenset):
+                      datatype_classes: frozenset, list_slots: frozenset,
+                      restrict_slots: frozenset | None = None):
     """CartesianSearchEvaluator.explore over root annotation lists."""
-    cmp = TreeComparator(datatype_classes, list_slots)
+    cmp = TreeComparator(datatype_classes, list_slots, restrict_slots=restrict_slots)
     return cmp.match_lists(gold_roots, pred_roots, depth=0)
 
 
-def tree_prf(pred_nodes: DataFrame, gold_nodes: DataFrame, ontology) -> DataFrame:
+def tree_prf(pred_nodes: DataFrame, gold_nodes: DataFrame, ontology,
+             restrict_slots: frozenset | None = None) -> DataFrame:
     """Per-document (tp, fp, fn) via cogrouped applyInPandas; micro-aggregate
-    with .agg(sum) afterwards (run/eval/EvaluatePrediction.java:39-115)."""
+    with .agg(sum) afterwards (run/eval/EvaluatePrediction.java:39-115).
+    ``restrict_slots`` applies InvestigationRestriction to the comparison."""
     dt_classes = frozenset(ontology.classes[ontology.classes.is_datatype].class_id)
     list_slots = frozenset(ontology.slots[ontology.slots.is_list].slot_name)
     cols = ["doc_key", "ann_id", "node_id", "parent_node_id", "slot_name",
@@ -291,7 +335,9 @@ def tree_prf(pred_nodes: DataFrame, gold_nodes: DataFrame, ontology) -> DataFram
     def fn(key, gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame) -> pd.DataFrame:
         gold_roots = build_trees(gold_pdf) if len(gold_pdf) else []
         pred_roots = build_trees(pred_pdf) if len(pred_pdf) else []
-        tp, fp, fn_ = compare_documents(gold_roots, pred_roots, dt_classes, list_slots)
+        tp, fp, fn_ = compare_documents(
+            gold_roots, pred_roots, dt_classes, list_slots, restrict_slots
+        )
         return pd.DataFrame([{"doc_key": key[0], "tp": tp, "fp": fp, "fn": fn_}])
 
     g = gold_nodes.select(*cols)

@@ -93,6 +93,32 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     )
 
 
+def kb_datatype_stats(kb_triples) -> dict:
+    """Per-predicate (median, dev) over the KB's numeric object values —
+    ``KnowledgeBaseTemplate.getMeanDevPair`` (templates/KnowledgeBase
+    Template.java:655-706): median = upper-middle sorted value, dev =
+    sqrt(SUM((median - v)^2)) (the reference keeps the raw sum, no /n).
+    Computed once on the driver (the KB side is broadcast-sized) and
+    shared verbatim by the relational projection and the fused kernel so
+    both emit bit-identical features."""
+    import math
+
+    per: dict[str, list] = {}
+    for r in kb_triples.select("pred", "obj").collect():
+        try:
+            v = float(r["obj"])
+        except (TypeError, ValueError):
+            continue
+        per.setdefault(r["pred"], []).append(v)
+    stats = {}
+    for pred, vals in per.items():
+        vals.sort()
+        med = vals[len(vals) // 2]
+        dev = math.sqrt(sum((med - x) ** 2 for x in vals))
+        stats[pred] = (med, dev)
+    return stats
+
+
 def _fs(feature_col, value_col=None):
     """One feature as struct<feature:string, value:double>."""
     v = value_col if value_col is not None else F.lit(1.0)
@@ -300,6 +326,46 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         scalar.append(
             _fs_if(F.col("_in_kb").isNotNull(), F.concat(F.lit("kb["), slot, F.lit("]")))
         )
+        # datatype mean/stddev stats (KnowledgeBaseTemplate.java:600-669):
+        # decade-binned distance to the KB median, plus the nearest
+        # within-k and farthest beyond-k dev bands (k in 1..10, band width
+        # 0.001 * dev, exactly as the reference loops)
+        stats = kb_datatype_stats(kb_triples)
+        if stats:
+            from itertools import chain as _chain
+
+            med_map = F.create_map(
+                *_chain.from_iterable((F.lit(k), F.lit(m)) for k, (m, _) in stats.items())
+            )
+            dev_map = F.create_map(
+                *_chain.from_iterable((F.lit(k), F.lit(d)) for k, (_, d) in stats.items())
+            )
+            # try_cast: non-numeric interpreted values ("182 cm") yield no
+            # stats features, same as the kernel's float() failure path
+            v = F.col("dt_value").try_cast("double")
+            med, dev = med_map[slot], dev_map[slot]
+            delta = F.abs(v - med)
+            band = 0.001 * dev
+            has = v.isNotNull() & med.isNotNull()
+            within_k = F.greatest(F.ceil(delta / band), F.lit(1))
+            beyond_k = F.least(F.ceil(delta / band) - 1, F.lit(10))
+            scalar.extend([
+                _fs_if(
+                    has & (delta < 1000),
+                    F.concat(F.lit("kbstat_dist["), slot, F.lit("]="),
+                             (F.floor(delta / 10) * 10).cast("long").cast("string")),
+                ),
+                _fs_if(
+                    has & (dev > 0) & (within_k <= 10),
+                    F.concat(F.lit("kbstat_within["), slot, F.lit("]="),
+                             within_k.cast("long").cast("string")),
+                ),
+                _fs_if(
+                    has & (dev > 0) & (beyond_k >= 1),
+                    F.concat(F.lit("kbstat_beyond["), slot, F.lit("]="),
+                             beyond_k.cast("long").cast("string")),
+                ),
+            ])
 
     # BOWnGramsTemplate: word bigrams over the mention surface
     bow2 = F.when(

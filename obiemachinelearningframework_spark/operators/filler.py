@@ -28,11 +28,11 @@ ASSIGNMENT_COLS = [
 
 
 def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
-                 weights_df: DataFrame, ontology=None) -> DataFrame:
+                 weights_df: DataFrame, ontology=None, kb_triples: DataFrame | None = None) -> DataFrame:
     # pairs feeds both the feature pass and the final join-back: cache so
     # the window-heavy build_pairs subtree is evaluated once
     pairs = build_pairs(roots, candidates, instances).cache()
-    feats = compute_features(pairs, ontology)
+    feats = compute_features(pairs, ontology, kb_triples=kb_triples)
     scores = score_pairs(feats, weights_df)
     # join back on (doc_key, pair_id): both sides carry the doc_key
     # clustering, so this is a co-partitioned join — no exchange

@@ -69,13 +69,17 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def ontology_spec(ontology) -> dict:
+def ontology_spec(ontology, no_evidence_classes: frozenset = frozenset(),
+                  restrict_slots: frozenset | None = None) -> dict:
     """Distill the broadcast ontology tables into plain-python lookup
     structures for the kernel (mirrors the branch selection of
-    ``generate_candidates`` exactly)."""
+    ``generate_candidates`` exactly, incl. the evidence-free class branch
+    and InvestigationRestriction slot filtering)."""
     root_cls = ontology.root_class_id
     classes = ontology.classes.set_index("class_id")
     slots = ontology.slots[ontology.slots.owner_class_id == root_cls]
+    if restrict_slots is not None:
+        slots = slots[slots.slot_name.isin(restrict_slots)]
     ind_classes = set(ontology.individuals.class_id)
 
     slot_specs = []
@@ -105,8 +109,18 @@ def ontology_spec(ontology) -> dict:
         elif any(c in ind_classes for c in desc):
             spec["kind"] = "ind"
         else:
+            from .candidates import is_differentiable_to_all_siblings
+
             spec["kind"] = "cls"
-            spec["proper"] = set(d for d in desc if d != rng)
+            proper = set(d for d in desc if d != rng)
+            # evidence-free classes (sibling-differentiable or whitelisted)
+            # mirror generate_candidates' schema-level branch
+            spec["free"] = sorted(
+                c for c in proper
+                if c in no_evidence_classes
+                or is_differentiable_to_all_siblings(ontology, c, rng)
+            )
+            spec["proper"] = proper - set(spec["free"])
         slot_specs.append(spec)
 
     has_individuals = (ontology.individuals.class_id == root_cls).any()
@@ -297,6 +311,17 @@ def _doc_candidates(mentions, spec):
                     }
                 )
         else:  # cls
+            for cls in s.get("free", []):
+                # evidence-free candidate (sibling-differentiable or
+                # whitelisted class): one per document, onset -1
+                cands.append(
+                    {
+                        "slot_name": name, "slot_kind": "cls", "class_id": cls,
+                        "individual_id": None, "dt_value": None, "obj_id": cls,
+                        "text": cls, "onset": -1, "offset": -1,
+                        "sent_idx": 0, "src": "schema", "aux_values": {},
+                    }
+                )
             best = {}
             for x in mentions:
                 if x["kind"] == "class" and x["class_id"] in s["proper"]:
@@ -320,7 +345,7 @@ def _toks(s, min_chars):
     return [t for t in _NONWORD.split(s.lower()) if len(t) >= min_chars]
 
 
-def _pair_features(r, c, content, stats, spec, kb):
+def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
     """The fused feature projection of features.py:compute_features for one
     (root, candidate) pair; yields (feature, value)."""
     slot = c["slot_name"]
@@ -390,6 +415,28 @@ def _pair_features(r, c, content, stats, spec, kb):
         yield f"hier[{slot}]={depth}", 1.0
     if kb is not None and (slot, c["obj_id"]) in kb:
         yield f"kb[{slot}]", 1.0
+    # KB datatype mean/stddev stats (KnowledgeBaseTemplate.java:600-669),
+    # identical formulas to features.compute_features
+    if kb_stats and c["dt_value"] is not None and slot in kb_stats:
+        try:
+            v = float(c["dt_value"])
+        except (TypeError, ValueError):
+            v = None
+        if v is not None:
+            import math
+
+            med, dev = kb_stats[slot]
+            delta = abs(v - med)
+            if delta < 1000:
+                yield f"kbstat_dist[{slot}]={int(delta // 10) * 10}", 1.0
+            if dev > 0:
+                band = 0.001 * dev
+                wk = max(int(math.ceil(delta / band)), 1)
+                bk = min(int(math.ceil(delta / band)) - 1, 10)
+                if wk <= 10:
+                    yield f"kbstat_within[{slot}]={wk}", 1.0
+                if bk >= 1:
+                    yield f"kbstat_beyond[{slot}]={bk}", 1.0
     # in-between tokens (unit total mass)
     gap = onset - r["offset"]
     if after_root and 0 < gap <= IB_MAX_CHARS:
@@ -453,7 +500,7 @@ def _doc_stats(roots, cands):
     }
 
 
-def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb):
+def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats=None):
     """Score every pair, then greedy_fill per (root, slot): best occurrence
     per distinct obj, rank distinct objs, accept top-card above threshold
     (filler.py:40-66). Returns accepted assignment dicts."""
@@ -463,7 +510,7 @@ def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb):
         per_slot = {}
         for c in cands:
             score = 0.0
-            for f, v in _pair_features(r, c, content, stats, spec, kb):
+            for f, v in _pair_features(r, c, content, stats, spec, kb, kb_stats):
                 w = weights.get(f)
                 if w is not None:
                     score += w * v
@@ -504,7 +551,7 @@ def _doc_triples(doc_key, accepted):
 
 
 def extract_document(doc_key, content, compiled, link_map, spec, weights, thresholds,
-                     min_len=2, kb=None):
+                     min_len=2, kb=None, kb_stats=None):
     """content -> [(doc_key, subj, pred, obj)] — the full fused inference."""
     mentions = _doc_mentions(content, compiled, min_len, link_map)
     roots = _doc_roots(mentions, spec, doc_key)
@@ -514,7 +561,7 @@ def extract_document(doc_key, content, compiled, link_map, spec, weights, thresh
     if not cands:
         return []
     stats = _doc_stats(roots, cands)
-    accepted = _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb)
+    accepted = _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats)
     return _doc_triples(doc_key, accepted)
 
 
@@ -637,11 +684,14 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
     w = weights_pdf[~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)]
     weights = dict(zip(w.feature, w.weight.astype(float)))
     spec = ontology_spec(ontology)
-    kb = None
+    kb, kb_stats = None, None
     if kb_triples is not None:
+        from .features import kb_datatype_stats
+
         kb = set(
             (r["pred"], r["obj"]) for r in kb_triples.select("pred", "obj").distinct().collect()
         )
+        kb_stats = kb_datatype_stats(kb_triples)
 
     pattern_rows = compile_pattern_table(ontology)
     sc = spark.sparkContext
@@ -649,7 +699,7 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         {
             "patterns": pattern_rows, "link_map": link_map, "spec": spec,
             "weights": weights, "thresholds": dict(thresholds),
-            "min_len": min_ner_length, "kb": kb,
+            "min_len": min_ner_length, "kb": kb, "kb_stats": kb_stats,
         }
     )
 
@@ -663,6 +713,7 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
                     extract_document(
                         doc_key, content, compiled, v["link_map"], v["spec"],
                         v["weights"], v["thresholds"], v["min_len"], v["kb"],
+                        v["kb_stats"],
                     )
                 )
             yield pd.DataFrame(recs, columns=["doc_key", "subj", "pred", "obj"])

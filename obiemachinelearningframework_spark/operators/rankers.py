@@ -91,11 +91,62 @@ def rank_objective(per_doc_prf: DataFrame) -> DataFrame:
     return per_doc_prf.select("doc_key", f1.alias("rank_score"))
 
 
+def rank_single_slot(pairs_with_scores: DataFrame) -> DataFrame:
+    """SingleSlotModelScoreRanker (activelearning/SingleSlotModelScoreRanker
+    .java): explore each slot under a single-slot InvestigationRestriction
+    and rank by the WEAKEST slot's best model score — batched as max score
+    per (doc, slot), then min over slots per doc (ascending = the doc whose
+    hardest single slot is least confidently fillable is labeled first)."""
+    per_slot = pairs_with_scores.groupBy("doc_key", "slot_name").agg(
+        F.max("score").alias("best")
+    )
+    return per_slot.groupBy("doc_key").agg(F.min("best").alias("rank_score"))
+
+
+def rank_rand_filler(instances: DataFrame, gold_triples: DataFrame,
+                     roots: DataFrame, candidates: DataFrame,
+                     n_trials: int = 10, seed: int = 100) -> DataFrame:
+    """FullDocumentRandFillerRanker (activelearning/FullDocumentRandFiller
+    Ranker.java:40-52): fill each document randomly n_trials times,
+    evaluate against gold, rank by ascending mean F1 — documents where
+    random guessing does WORST (hardest structure) are labeled first.
+    Simulation-only (needs gold), like rank_objective."""
+    from .baseline import random_fill
+    from .triples import materialize_triples
+
+    keys = ["doc_key", "subj", "pred", "obj"]
+    g = gold_triples.select(*keys).dropDuplicates()
+    n_gold = g.groupBy("doc_key").agg(F.count("*").alias("n_gold"))
+    acc = None
+    for t in range(n_trials):
+        pred = materialize_triples(random_fill(roots, candidates, seed=seed + t))
+        p = pred.select(*keys).dropDuplicates()
+        tp = p.join(g, keys, "inner").groupBy("doc_key").agg(F.count("*").alias("tp"))
+        np_ = p.groupBy("doc_key").agg(F.count("*").alias("n_pred"))
+        f1 = (
+            instances.select("doc_key")
+            .join(np_, "doc_key", "left")
+            .join(n_gold, "doc_key", "left")
+            .join(tp, "doc_key", "left")
+            .fillna({"tp": 0, "n_pred": 0, "n_gold": 0})
+            .select(
+                "doc_key",
+                (2.0 * F.col("tp") / F.greatest(
+                    F.col("n_pred") + F.col("n_gold"), F.lit(1)
+                )).alias(f"f1_{t}"),
+            )
+        )
+        acc = f1 if acc is None else acc.join(f1, "doc_key")
+    mean = sum(F.col(f"f1_{t}") for t in range(n_trials)) / float(n_trials)
+    return acc.select("doc_key", mean.alias("rank_score"))
+
+
 RANKERS = {
     "entropy": rank_entropy,
     "model_score": rank_model_score,
     "variance": rank_variance,
     "margin": rank_margin,
+    "single_slot": rank_single_slot,
 }
 
 

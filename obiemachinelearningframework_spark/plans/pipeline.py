@@ -132,7 +132,8 @@ class OBIEPipeline:
 
     # --------------------------------------------------------------- predict
 
-    def predict(self, instances: DataFrame, alias_edges: DataFrame | None = None) -> dict:
+    def predict(self, instances: DataFrame, alias_edges: DataFrame | None = None,
+                kb_triples: DataFrame | None = None) -> dict:
         assert self.weights is not None, "fit() or load_weights() first"
         w_df = model_weights_df(self.spark, self.weights)
         # two cache points only: mentions (the regex kernel feeds both the
@@ -149,7 +150,7 @@ class OBIEPipeline:
         # (observed: 3 concurrent duplicate kernel jobs). One count pins it.
         mentions.count()
         roots, candidates = self.roots_and_candidates(mentions)
-        pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology)
+        pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology, kb_triples)
         assignments = greedy_fill(pairs, self.ontology, self.thresholds)
         triples = materialize_triples(assignments)
         # cross-doc canonicalization: entity ids from dictionary grounding

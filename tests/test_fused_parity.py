@@ -49,3 +49,27 @@ def test_fused_matches_relational(spark, domain):
 
         vocab = [r["text"] for r in capitalized_vocabulary(inst, c["ontology"]).collect()]
         assert py_link_map(vocab, c["ontology"]), "fuzzy linking not exercised"
+
+
+def test_fused_matches_relational_with_kb(spark):
+    """KB feature family parity: with a prior-KB triples table attached
+    (membership flag + datatype median/dev stats), both paths must still
+    emit identical triples."""
+    c = generate_corpus("soccer", n_docs=30, seed=13)
+    pipe = OBIEPipeline(spark, c["ontology"])
+    inst = pipe.prepare(spark.createDataFrame(c["source"])).repartition(8, "doc_key").cache()
+    gold = spark.createDataFrame(c["gold_triples"])
+    pipe.fit(inst, gold)
+    kb = gold.limit(200)  # a prior KB: an earlier run's (partial) output
+
+    relational = (
+        pipe.predict(inst, kb_triples=kb)["triples"]
+        .select("doc_key", "subj", "pred", "obj").collect()
+    )
+    fused = pipe.predict_fused(inst, kb_triples=kb).collect()
+    r_set = {tuple(r) for r in relational}
+    f_set = {tuple(r) for r in fused}
+    assert r_set == f_set and len(r_set) > 0, (
+        f"kb-parity broke: rel-only={sorted(r_set - f_set)[:5]} "
+        f"fused-only={sorted(f_set - r_set)[:5]}"
+    )

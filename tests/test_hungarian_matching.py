@@ -94,3 +94,38 @@ def test_hungarian_max_simple_matrix():
     assert a == [1, 0]
     s2 = np.array([[9.0, 1.0, 1.0], [1.0, 9.0, 1.0], [1.0, 1.0, 9.0]])
     assert hungarian_max(s2) == [0, 1, 2]
+
+
+def test_beam_matcher_wide_beam_equals_bruteforce():
+    """BeamSearchEvaluator variant: with a beam wide enough to hold every
+    partial assignment it must equal the exact matcher on random trees."""
+    from obiemachinelearningframework_spark.operators.evaluator import beam_match
+
+    rng = random.Random(5)
+    for _ in range(20):
+        n = rng.randint(2, 5)
+        gold = [_rand_node(rng) for _ in range(n)]
+        pred = [_rand_node(rng) for _ in range(rng.randint(1, n))]
+        cmp = TreeComparator(DT, frozenset(["s3"]))
+        _, brute_f1 = _brute_best(cmp, list(gold), list(pred), depth=0)
+        m = max(len(gold), len(pred))
+        g = gold + [None] * (m - len(gold))
+        p = pred + [None] * (m - len(pred))
+        pair = {(i, j): cmp.compare(g[i], p[j], 0) for i in range(m) for j in range(m)}
+        t = beam_match(pair, m, beam_width=1000)
+        assert _prf(*t) == brute_f1
+
+
+def test_beam_matcher_narrow_beam_never_above_optimum():
+    from obiemachinelearningframework_spark.operators.evaluator import beam_match
+
+    rng = random.Random(11)
+    for _ in range(20):
+        n = rng.randint(2, 5)
+        gold = [_rand_node(rng) for _ in range(n)]
+        pred = [_rand_node(rng) for _ in range(n)]
+        cmp = TreeComparator(DT, frozenset(["s3"]))
+        _, brute_f1 = _brute_best(cmp, list(gold), list(pred), depth=0)
+        pair = {(i, j): cmp.compare(gold[i], pred[j], 0) for i in range(n) for j in range(n)}
+        t = beam_match(pair, n, beam_width=1)
+        assert _prf(*t) <= brute_f1 + 1e-12

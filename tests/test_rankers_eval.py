@@ -123,10 +123,14 @@ def test_kb_feature_family(soccer):
     feats = compute_features(pairs, soccer["c"]["ontology"], kb_triples=soccer["gold"])
     kb = feats.filter(F.col("feature").startswith("kb[")).count()
     assert kb > 0
-    # without a KB the family is absent and the rest is identical
+    # datatype median/dev stats family (KnowledgeBaseTemplate.java:600-669)
+    kbstat = feats.filter(F.col("feature").startswith("kbstat_")).count()
+    assert kbstat > 0
+    assert feats.filter(F.col("feature").startswith("kbstat_within[")).count() > 0
+    # without a KB both families are absent and the rest is identical
     base = compute_features(pairs, soccer["c"]["ontology"])
-    assert base.filter(F.col("feature").startswith("kb[")).count() == 0
-    assert base.count() == feats.count() - kb
+    assert base.filter(F.col("feature").startswith("kb")).count() == 0
+    assert base.count() == feats.count() - kb - kbstat
 
 
 def test_active_learning_loop(spark):
@@ -140,3 +144,22 @@ def test_active_learning_loop(spark):
     assert len(hist) == 2
     assert hist[1]["labeled"] > hist[0]["labeled"] - 3  # grows by <= batch per round
     assert hist[0]["labeled"] >= 3
+
+
+def test_rank_rand_filler(soccer):
+    """FullDocumentRandFillerRanker: n random fills scored against gold,
+    ascending mean F1 — deterministic for a fixed seed."""
+    from obiemachinelearningframework_spark.operators.rankers import rank_rand_filler
+
+    r1 = rank_rand_filler(
+        soccer["inst"], soccer["gold"], soccer["roots"], soccer["candidates"],
+        n_trials=3, seed=7,
+    )
+    assert r1.columns == ["doc_key", "rank_score"]
+    rows = {r.doc_key: r.rank_score for r in r1.collect()}
+    assert rows and all(0.0 <= v <= 1.0 for v in rows.values())
+    r2 = rank_rand_filler(
+        soccer["inst"], soccer["gold"], soccer["roots"], soccer["candidates"],
+        n_trials=3, seed=7,
+    )
+    assert rows == {r.doc_key: r.rank_score for r in r2.collect()}
