@@ -17,8 +17,10 @@ documents at once:
 SlotFillerExplorer (set/replace a filler, explicit null filler,
 ``:173-294``), SlotCardinalityExplorer (append / REMOVE one list element,
 ``:228-443``), TemplateCardinalityExplorer (add / REMOVE a root,
-``:69-120``) — and the greedy sampler accepts any proposal that improves
-the model score. With a linear scorer all of those proposals are totally
+``:69-120``), and MergedCardinalityExplorer (their composition,
+``explorer/MergedCardinalityExplorer.java:30-40`` — subsumed here because
+one batched sweep already applies every family to every slot) — and the
+greedy sampler accepts any proposal that improves the model score. With a linear scorer all of those proposals are totally
 ordered by the slot-set VALUE
 
     value(S) = Σ_{e in S} (score(e) - threshold_slot)

@@ -51,6 +51,10 @@ TRIPLE_SCHEMA = T.StructType(
 
 AUX_SEP = "::"
 _NONWORD = re.compile(r"\W+", re.ASCII)  # Spark's java \W is ASCII
+LINK_MAP_DRIVER_MAX = 512  # vocabularies up to this size score on the
+                           # driver (py_link_map); beyond it the distributed
+                           # similarity join does the scoring — serial
+                           # driver work is a fixed cost that caps scaling
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -675,11 +679,24 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
     else:
         # distinct-run scan stays distributed (corpus-bound); window
-        # expansion + scoring against the dictionary happens on the driver
+        # expansion is cheap driver string work; SCORING the windows
+        # against the dictionary runs as the distributed similarity join
+        # (linking.build_link_map) once the vocabulary is non-trivial —
+        # driver-side python scoring is a serial fixed cost that erodes
+        # scaling efficiency at high parallelism. py_link_map (asserted
+        # equal in tests) remains the micro-vocabulary fast path.
         from .mentions import MAX_SPAN_TOKENS
 
         runs = [r["text"] for r in capitalized_vocabulary(instances, ontology).collect()]
-        link_map = py_link_map(expand_run_windows(runs, MAX_SPAN_TOKENS), ontology)
+        windows = expand_run_windows(runs, MAX_SPAN_TOKENS)
+        if len(windows) <= LINK_MAP_DRIVER_MAX:
+            link_map = py_link_map(windows, ontology)
+        else:
+            from .linking import build_link_map
+
+            win_df = spark.createDataFrame([(w,) for w in sorted(windows)], ["text"])
+            link_rows = build_link_map(win_df, ontology, spark).collect()
+            link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
 
     w = weights_pdf[~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)]
     weights = dict(zip(w.feature, w.weight.astype(float)))

@@ -73,3 +73,20 @@ def test_fused_matches_relational_with_kb(spark):
         f"kb-parity broke: rel-only={sorted(r_set - f_set)[:5]} "
         f"fused-only={sorted(f_set - r_set)[:5]}"
     )
+
+
+def test_fused_distributed_link_map_parity(spark, monkeypatch):
+    """Force the fused kernel's DISTRIBUTED link-map branch (the large-
+    vocabulary path) and pin parity with the relational plan on the
+    disease domain (which contains unseen typos)."""
+    from obiemachinelearningframework_spark.operators import fused as Fz
+
+    monkeypatch.setattr(Fz, "LINK_MAP_DRIVER_MAX", 0)
+    c = generate_corpus("disease", n_docs=40, seed=42)
+    pipe = OBIEPipeline(spark, c["ontology"])
+    inst = pipe.prepare(spark.createDataFrame(c["source"])).repartition(8, "doc_key").cache()
+    pipe.fit(inst, spark.createDataFrame(c["gold_triples"]))
+    relational = pipe.predict(inst)["triples"].select("doc_key", "subj", "pred", "obj").collect()
+    fused = pipe.predict_fused(inst).collect()
+    r_set, f_set = {tuple(r) for r in relational}, {tuple(r) for r in fused}
+    assert r_set == f_set and len(r_set) > 0
