@@ -171,18 +171,27 @@ def active_learning_rounds(
     rank the unlabeled pool, move the b least-certain docs to labeled.
     Returns per-round bookkeeping (labeled count, pool count)."""
     spark = instances.sparkSession
-    all_keys = [r.doc_key for r in instances.select("doc_key").orderBy(
-        F.xxhash64("doc_key", F.lit(seed))).collect()]
-    n_seed = max(1, int(math.ceil(len(all_keys) * seed_frac)))
-    labeled = set(all_keys[:n_seed])
+    # seed selection stays distributed: rank every doc by a seeded hash and
+    # keep the first ceil(frac*n) — no corpus-sized doc_key collect (the
+    # driver only ever holds the per-round picked batch, which is b-sized)
+    n_docs = instances.count()
+    n_seed = max(1, int(math.ceil(n_docs * seed_frac)))
+    w_seed = W.orderBy(F.xxhash64("doc_key", F.lit(seed)), F.asc("doc_key"))
+    labeled_df = (
+        instances.select("doc_key")
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= n_seed)
+        .select("doc_key")
+        .cache()
+    )
+    n_labeled = labeled_df.count()  # pins the cache
     history = []
     for rnd in range(rounds):
-        lab_df = spark.createDataFrame([(k,) for k in sorted(labeled)], ["doc_key"])
-        train_inst = instances.join(lab_df, "doc_key", "left_semi")
+        train_inst = instances.join(labeled_df, "doc_key", "left_semi")
         pipeline.fit(train_inst, gold_triples)
-        pool = instances.join(lab_df, "doc_key", "left_anti")
+        pool = instances.join(labeled_df, "doc_key", "left_anti")
         if pool.isEmpty():
-            history.append({"round": rnd, "labeled": len(labeled), "pool": 0})
+            history.append({"round": rnd, "labeled": n_labeled, "pool": 0})
             break
         out = pipeline.predict(pool)
         scored = out["assignments"]  # carries the model score column
@@ -192,7 +201,11 @@ def active_learning_rounds(
         picked = {r.doc_key for r in pick_batch(ranked, batch).collect()}
         if not picked:  # ranker had no signal for any pool doc
             picked = set(r.doc_key for r in pool.select("doc_key").limit(batch).collect())
-        labeled |= picked
-        history.append({"round": rnd, "labeled": len(labeled),
+        picked_df = spark.createDataFrame([(k,) for k in sorted(picked)], ["doc_key"])
+        new_labeled = labeled_df.unionByName(picked_df).distinct().cache()
+        n_labeled = new_labeled.count()
+        labeled_df.unpersist()
+        labeled_df = new_labeled
+        history.append({"round": rnd, "labeled": n_labeled,
                         "pool": int(pool.count()), "picked": sorted(picked)})
     return history

@@ -138,6 +138,8 @@ def train_weights_distributed(
     labels: DataFrame,
     iters: int = 200,
     l2: float = 1e-4,
+    elastic_net: float = 0.0,
+    tol: float = 1e-6,
 ) -> pd.DataFrame:
     """Distributed trainer: same contract as ``train_weights`` (returns a
     (feature, weight) table incl. per-slot threshold pseudo-features) with
@@ -206,7 +208,7 @@ def train_weights_distributed(
 
     lr = LogisticRegression(
         featuresCol="fvec", labelCol="label", weightCol="sample_w",
-        maxIter=iters, regParam=l2, elasticNetParam=0.0,
+        maxIter=iters, regParam=l2, elasticNetParam=elastic_net, tol=tol,
         standardization=False, fitIntercept=False,
     )
     model = lr.fit(data)
@@ -268,6 +270,24 @@ def train_weights_distributed(
     data.unpersist()
     return pd.concat(
         [w_pdf, pd.DataFrame(th_rows, columns=["feature", "weight"])], ignore_index=True
+    )
+
+
+def train_weights_liblinear(
+    features: DataFrame,
+    labels: DataFrame,
+) -> pd.DataFrame:
+    """The LibLinearScorer path (``scorer/LibLinearScorer.java:31-41,45-91``):
+    the reference collects sampled (feature-vector, objective) points and
+    trains an L1-regularized logistic regression (``SolverType.L1R_LR``,
+    C = 1e-4, eps = 0.01). Re-expressed as Spark ML L-BFGS/OWL-QN with
+    ``elasticNetParam = 1.0`` over the same executor-assembled sparse
+    vectors as ``train_weights_distributed`` — no driver collect, and the
+    L1 penalty yields the same sparse-model behavior the external solver
+    gave the reference. Same output contract: (feature, weight) rows plus
+    per-slot ``__THRESHOLD__[slot]`` pseudo-features."""
+    return train_weights_distributed(
+        features, labels, iters=200, l2=1e-4, elastic_net=1.0, tol=0.01
     )
 
 

@@ -31,8 +31,10 @@ class OBIEPipeline:
         """``trainer``: 'numpy' (driver full-batch GD — exact, for
         fixture-sized training samples), 'distributed' (Spark ML L-BFGS
         over executor-assembled sparse vectors — no corpus-sized driver
-        collect), or 'auto' (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled
-        pairs, distributed beyond)."""
+        collect), 'liblinear' (the reference's LibLinearScorer analog:
+        L1-regularized, scorer/LibLinearScorer.java:31-41), or 'auto'
+        (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled pairs, distributed
+        beyond)."""
         self.spark = spark
         self.ontology = ontology
         self.min_ner_length = min_ner_length
@@ -123,6 +125,10 @@ class OBIEPipeline:
             from ..operators.trainer import train_weights_distributed
 
             self.weights = train_weights_distributed(feats, labels)
+        elif mode == "liblinear":
+            from ..operators.trainer import train_weights_liblinear
+
+            self.weights = train_weights_liblinear(feats, labels)
         else:
             self.weights = train_weights(feats, labels)
         self.thresholds = thresholds_from_weights(self.weights)
