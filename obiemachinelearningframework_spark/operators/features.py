@@ -18,7 +18,8 @@ Feature families re-created (reference file -> family):
 * TokenContextTemplate (:260-337)    -> ctx_l1/l2, ctx_r1/r2 tokens
 * InBetweenContextTemplate (:29-133) -> ib tokens between root and filler
   (<= 10 tokens, tokens >= 2 chars, as in the reference :50,:57)
-* LocalityTemplate family (:191-208) -> signed sentence-distance bins
+* LocalityTemplate family (:191-208) -> signed sentence-distance bins +
+  signed char-distance bins (cdist, the GlobalLocality char variant)
 * SlotFillerExplorer discourse progression (:203-218) -> after_root /
   before_next_root block features
 * FrequencyTemplate (:28-120)        -> has-max-evidence flag
@@ -155,6 +156,21 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         .when(sent_dist <= 3, sent_dist.cast("string"))
         .otherwise(F.lit("ge4"))
     )
+    # GlobalLocalityTemplate char-distance variant (templates/Locality
+    # Template.java:191-208 family, "[A_B] dist <= d"): signed
+    # root->candidate char distance in exponential <=d bins. Together with
+    # the sentence bins above this covers the Locality/GlobalLocality/
+    # LocalLocality/GlobalSentenceLocality family's distance signal.
+    cgap = F.col("onset") - F.col("root_onset")
+    cmag = F.abs(cgap)
+    cdist_bin = (
+        F.when(cmag <= 16, F.lit("le16"))
+        .when(cmag <= 64, F.lit("le64"))
+        .when(cmag <= 256, F.lit("le256"))
+        .when(cmag <= 1024, F.lit("le1024"))
+        .otherwise(F.lit("gt1024"))
+    )
+    cdist_sign = F.when(cgap < 0, F.lit("-")).otherwise(F.lit("+"))
     after_root = F.col("onset") > F.col("root_onset")
     before_next = F.col("next_root_onset").isNull() | (F.col("onset") < F.col("next_root_onset"))
     nearest = F.col("is_nearest_root") == 1
@@ -209,6 +225,7 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
     scalar = [
         _fs(F.concat(F.lit("bias["), slot, F.lit("]"))),
         _fs(F.concat(F.lit("dist["), slot, F.lit("]="), dist_bin)),
+        _fs(F.concat(F.lit("cdist["), slot, F.lit("]="), cdist_sign, cdist_bin)),
         _fs_if(after_root, F.concat(F.lit("after_root["), slot, F.lit("]"))),
         _fs_if(before_next, F.concat(F.lit("before_next["), slot, F.lit("]"))),
         _fs_if(after_root & before_next, F.concat(F.lit("in_block["), slot, F.lit("]"))),

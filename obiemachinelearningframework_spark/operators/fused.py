@@ -363,6 +363,21 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
     else:
         b = "ge4"
     yield f"dist[{slot}]={b}", 1.0
+    # GlobalLocalityTemplate char-distance bins — identical expression to
+    # features.compute_features (cdist_bin there)
+    cgap = onset - r["onset"]
+    cmag = abs(cgap)
+    if cmag <= 16:
+        cb = "le16"
+    elif cmag <= 64:
+        cb = "le64"
+    elif cmag <= 256:
+        cb = "le256"
+    elif cmag <= 1024:
+        cb = "le1024"
+    else:
+        cb = "gt1024"
+    yield f"cdist[{slot}]={'-' if cgap < 0 else '+'}{cb}", 1.0
     after_root = onset > r["onset"]
     before_next = r["next_root_onset"] is None or onset < r["next_root_onset"]
     nearest = stats["nearest"].get((slot, onset, c["obj_id"])) == r["root_id"]

@@ -334,18 +334,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-    bands = bands.join(
-        sizes.filter(F.col("_bn") <= MAX_BUCKET_DOCS).select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
+    # pair generation WITHOUT a bands self-join: one groupBy gathers each
+    # bucket's members (bounded by the hot-bucket cap, so the array and the
+    # <= cap^2/2 intra-bucket pairs it yields are tiny), array ops emit the
+    # ordered pairs JVM-side. vs the semi-join + self-join form this saves
+    # 3 shuffles of the bands table — the dominant exchange at corpus scale.
+    docs = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.greatest(F.size("docs") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b_ = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band", "bucket")
+        .agg(docs.alias("docs"))
+        .filter(F.size("docs") <= MAX_BUCKET_DOCS)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
