@@ -133,6 +133,52 @@ def train_weights(
     return pd.concat([out, pd.DataFrame(th_rows, columns=["feature", "weight"])], ignore_index=True)
 
 
+def assemble_vectors(features: DataFrame, labels: DataFrame | None, vocab: list | None = None):
+    """Executor-side sparse feature-vector assembly shared by every
+    Spark-ML-backed scorer (the distributed LR trainer and the
+    RandomForest / regression ML baselines in ``ml_baselines.py``).
+
+    * vocabulary = distinct TRAIN features unless an existing train
+      vocabulary is passed in (transform time) — the reference's
+      train-only feature admission (``scorer/InstanceCollection.java:
+      44-50``): the broadcast inner join drops unseen features;
+    * per-pair (idx, value) sorted by idx, duplicate feature emissions
+      summed (matches the numpy path's bincount over repeated entries).
+
+    Returns ``(data, vocab)`` where data is
+    ``(pair_id[, slot_name, label], fvec)`` — label columns only when
+    ``labels`` is given."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    spark = features.sparkSession
+    if vocab is None:
+        vocab = sorted(r["feature"] for r in features.select("feature").distinct().collect())
+    m = len(vocab)
+    vocab_df = spark.createDataFrame(
+        [(f, j) for j, f in enumerate(vocab)], ["feature", "fidx"]
+    )
+    idx_feats = features.join(F.broadcast(vocab_df), "feature")
+    grouped = (
+        idx_feats.groupBy("pair_id", "fidx")
+        .agg(F.sum("value").alias("v"))
+        .groupBy("pair_id")
+        .agg(F.sort_array(F.collect_list(F.struct("fidx", "v"))).alias("ivs"))
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(ivs):
+        return SparseVector(m, [x["fidx"] for x in ivs], [float(x["v"]) for x in ivs])
+
+    if labels is not None:
+        lab = labels.select("pair_id", "slot_name", "label")
+        data = grouped.join(lab, "pair_id").select(
+            "pair_id", "slot_name", "label", to_vec("ivs").alias("fvec")
+        )
+    else:
+        data = grouped.select("pair_id", to_vec("ivs").alias("fvec"))
+    return data, vocab
+
+
 def train_weights_distributed(
     features: DataFrame,
     labels: DataFrame,
@@ -158,15 +204,7 @@ def train_weights_distributed(
       cumulative sums — no driver collect of the pair table).
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.linalg import SparseVector, VectorUDT
     from pyspark.sql import Window as W
-
-    spark = features.sparkSession
-    vocab = sorted(r["feature"] for r in features.select("feature").distinct().collect())
-    m = len(vocab)
-    vocab_df = spark.createDataFrame(
-        [(f, j) for j, f in enumerate(vocab)], ["feature", "fidx"]
-    )
 
     lab = labels.select("pair_id", "slot_name", "label")
     counts = lab.agg(
@@ -178,33 +216,12 @@ def train_weights_distributed(
     w_pos, w_neg = neg / pos, 1.0
     mean_w = (w_pos * pos + w_neg * neg) / float(counts["n"])
 
-    # vocabulary index via broadcast join (JVM-side; the inner join IS the
-    # train-only admission filter)
-    idx_feats = features.join(F.broadcast(vocab_df), "feature")
-    # deterministic sparse assembly: per pair, (idx, value) sorted by idx;
-    # duplicate feature emissions per pair are summed (matches the numpy
-    # path's bincount over repeated (row, col) entries)
-    grouped = (
-        idx_feats.groupBy("pair_id", "fidx")
-        .agg(F.sum("value").alias("v"))
-        .groupBy("pair_id")
-        .agg(F.sort_array(F.collect_list(F.struct("fidx", "v"))).alias("ivs"))
-    )
-
-    @F.udf(returnType=VectorUDT())
-    def to_vec(ivs):
-        return SparseVector(m, [x["fidx"] for x in ivs], [float(x["v"]) for x in ivs])
-
-    data = (
-        grouped.join(lab, "pair_id")
-        .select(
-            "pair_id", "slot_name", "label",
-            to_vec("ivs").alias("fvec"),
-            (F.when(F.col("label") > 0.5, F.lit(w_pos)).otherwise(F.lit(w_neg)) / F.lit(mean_w)
-             ).alias("sample_w"),
-        )
-        .cache()
-    )
+    assembled, vocab = assemble_vectors(features, labels)
+    data = assembled.withColumn(
+        "sample_w",
+        F.when(F.col("label") > 0.5, F.lit(w_pos)).otherwise(F.lit(w_neg)) / F.lit(mean_w),
+    ).cache()
+    spark = features.sparkSession
 
     lr = LogisticRegression(
         featuresCol="fvec", labelCol="label", weightCol="sample_w",

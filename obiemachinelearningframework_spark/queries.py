@@ -416,17 +416,33 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sharing a shingle are scored; shingles above SHINGLE_DF_CAP document
     frequency are pruned first (hot-key hardening)."""
     sh0 = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
-    freq = sh0.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sh = sh0.join(
-        freq.filter(F.col("_df") <= SHINGLE_DF_CAP).select("shingle"), "shingle", "left_semi"
+    # ONE aggregation by shingle yields both the document-frequency prune
+    # (size > cap -> drop) and the per-shingle doc list; intra-list pairs
+    # come from array ops (<= cap^2/2 per shingle), so the expensive
+    # token->shingle subtree is scanned once and never self-joined.
+    docs = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.greatest(F.size("docs") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    size = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
+    g = (
+        sh0.groupBy("shingle")
+        .agg(docs.alias("docs"))
+        .filter(F.size("docs") <= SHINGLE_DF_CAP)
+    )
+    size = (
+        g.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        g.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("common"))
     )
     na = size.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
