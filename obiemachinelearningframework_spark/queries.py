@@ -622,19 +622,44 @@ SQL_COSINE_TOPK = (
 
 
 def q_cosine_pairs_threshold(spark, sf_dir):
-    """Near-duplicate detection in embedding space: all pairs above 0.35."""
-    pairs = _emb_pairs_cosine(spark, sf_dir)
+    """Near-duplicate detection in embedding space, CORPUS-WIDE form: pairs
+    above 0.35 among the LSH multiprobe bucketed candidates
+    (_ann_bucketed_cos — the same admission as dedup_embedding; never
+    all-pairs, so the plan survives 100 TB). The exact all-pairs scan
+    stays available as the bounded-slice query below
+    (cosine_pairs_exact_slice) and per-bucket inside the ANN kernel."""
+    cos = _ann_bucketed_cos(spark, sf_dir)
     return (
-        pairs.filter((F.col("qid") < F.col("nid")) & (F.round("cos", 6) >= 0.35))
+        cos.filter((F.col("qid") < F.col("nid")) & (F.round("cos", 6) >= 0.35))
         .select("qid", "nid", F.round("cos", 4).alias("cos"))
     )
 
 
-SQL_COSINE_PAIRS_THRESHOLD = (
-    _EMB_PAIRS_SQL.replace("{QFILTER}", "")
+EXACT_SLICE_MAX_QID = 50   # the brute-force all-pairs scan is only ever run
+                           # for a bounded query slice (one bucket / a probe
+                           # set); corpus-wide similarity goes through the
+                           # LSH-bucketed kernel
+
+
+def q_cosine_pairs_exact_slice(spark, sf_dir):
+    """Exact cosine pairs >= 0.35 for a BOUNDED query slice (qid <
+    EXACT_SLICE_MAX_QID) against the full corpus — O(slice x N), the
+    verification/baseline scan; the corpus-wide operator is the bucketed
+    cosine_pairs_threshold above."""
+    pairs = _emb_pairs_cosine(
+        spark, sf_dir, query_filter=lambda qid: qid < EXACT_SLICE_MAX_QID
+    )
+    return (
+        pairs.filter((F.col("qid") != F.col("nid")) & (F.round("cos", 6) >= 0.35))
+        .select("qid", "nid", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_COSINE_PAIRS_EXACT_SLICE = (
+    _EMB_PAIRS_SQL.replace("{QFILTER}", f"AND a.vec_id < {EXACT_SLICE_MAX_QID}")
     + """
   SELECT qid, nid, round(cos, 4) AS cos FROM pairs
-  WHERE qid < nid AND round(cos, 6) >= 0.35
+  WHERE qid <> nid AND round(cos, 6) >= 0.35
 """
 )
 
@@ -865,6 +890,7 @@ SQL_CUSTOMERS_WITHOUT_ORDERS = """
 QUERIES.update({
     "cosine_topk": q_cosine_topk,
     "cosine_pairs_threshold": q_cosine_pairs_threshold,
+    "cosine_pairs_exact_slice": q_cosine_pairs_exact_slice,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
@@ -876,7 +902,7 @@ QUERIES.update({
 })
 ORACLES.update({
     "cosine_topk": SQL_COSINE_TOPK,
-    "cosine_pairs_threshold": SQL_COSINE_PAIRS_THRESHOLD,
+    "cosine_pairs_exact_slice": SQL_COSINE_PAIRS_EXACT_SLICE,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
@@ -1314,6 +1340,16 @@ SQL_DEDUP_EMBEDDING = f"""
 """
 
 
+# the corpus-wide cosine_pairs_threshold runs on the bucketed kernel; its
+# oracle reuses the shared multiprobe SQL (defined above) so DuckDB applies
+# the identical candidate admission
+SQL_COSINE_PAIRS_THRESHOLD_BUCKETED = f"""
+  WITH {_ANN_BUCKETED_COS_SQL.strip()}
+  SELECT qid, nid, round(cos, 4) AS cos FROM cosp
+  WHERE qid < nid AND round(cos, 6) >= 0.35
+"""
+
+
 QUERIES.update({
     "candidates_evidence": q_candidates_evidence,
     "greedy_fill_top1": q_greedy_fill_top1,
@@ -1331,4 +1367,5 @@ ORACLES.update({
     "eval_micro_prf": SQL_EVAL_MICRO_PRF,
     "ann_topk_bucketed": SQL_ANN_TOPK_BUCKETED,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "cosine_pairs_threshold": SQL_COSINE_PAIRS_THRESHOLD_BUCKETED,
 })
