@@ -1,0 +1,97 @@
+"""Cluster entrypoint — the north rule's execution mode:
+
+    spark-submit --master <cluster> --py-files dist/obie_spark.zip \
+        spark_submit_job.py train   --source s3://.../source --gold ... --weights ...
+    spark-submit --master <cluster> --py-files dist/obie_spark.zip \
+        spark_submit_job.py extract --source ... --weights ... --output ... \
+        --checkpoint-dir ...
+
+The job builds its SparkSession with ``getOrCreate()`` and NO master, so
+spark-submit's ``--master`` / ``--num-executors`` control cluster size (the
+N vs 4N runs of BASELINE.json differ only in submit flags). The package is
+shipped via ``--py-files`` (build the zip with ``python tools/make_pyfiles.py``);
+this file itself imports it like any cluster node would.
+
+* ``train``: read the source table ``(repo, path, commit, lang, content)``
+  and a gold-triples table, fit the pipeline (trainer auto-selects the
+  distributed path beyond the driver-safe pair count), write the weights
+  file — the constant-cost planning artifact every extract run broadcasts.
+* ``extract``: read the source table, run the fused extraction kernel (one
+  map stage, model broadcast, zero corpus-sized shuffles), write triples
+  partitioned by (repo, lang) with hot-predicate salting, and checkpoint
+  per-partition lineage + metrics so an interrupted run resumes
+  idempotently (manifest-gated commit in sources/catalog.py).
+
+The per-row invariant of BASELINE.json (content sha256 equality vs the
+source table) is checked inside ``extract`` and written to the metrics log.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _ontology(domain: str):
+    from obiemachinelearningframework_spark.fixtures import (
+        disease_ontology,
+        soccer_ontology,
+    )
+
+    return {"soccer": soccer_ontology, "disease": disease_ontology}[domain]()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["train", "extract"])
+    ap.add_argument("--source", required=True,
+                    help="parquet dir of (repo, path, commit, lang, content)")
+    ap.add_argument("--domain", default="soccer", choices=["soccer", "disease"])
+    ap.add_argument("--weights", required=True, help="weights file (json-lines)")
+    ap.add_argument("--gold", help="train: parquet dir of gold (doc_key, subj, pred, obj)")
+    ap.add_argument("--output", help="extract: triples sink dir")
+    ap.add_argument("--checkpoint-dir", help="extract: stage checkpoint + lineage dir")
+    args = ap.parse_args()
+
+    # master/executors come from spark-submit flags — never hardcoded here
+    spark = SparkSession.builder.appName(f"obie-{args.mode}").getOrCreate()
+
+    from obiemachinelearningframework_spark.operators.triples import write_triples
+    from obiemachinelearningframework_spark.plans.pipeline import OBIEPipeline
+
+    source = spark.read.parquet(args.source)
+    pipe = OBIEPipeline(spark, _ontology(args.domain))
+    inst = pipe.prepare(source)
+
+    if args.mode == "train":
+        assert args.gold, "--gold required for train"
+        gold = spark.read.parquet(args.gold)
+        pipe.fit(inst, gold)
+        pipe.save_weights(args.weights)
+        print(f"trained: {len(pipe.weights)} weights -> {args.weights}")
+        return
+
+    assert args.output, "--output required for extract"
+    pipe.load_weights(args.weights)
+    inst = inst.cache()
+    triples = pipe.predict_fused(inst)
+    write_triples(triples, inst, args.output)
+
+    # per-row invariant: content sha256 equality vs the source table
+    # (BASELINE.json); prepare() carries sha256 through, so the check is
+    # one aggregation over the instances already in cache
+    bad = inst.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
+    n_triples = spark.read.parquet(args.output).count()
+    print(f"extracted: {n_triples} triples -> {args.output}; sha256 mismatches: {bad}")
+    if args.checkpoint_dir:
+        from obiemachinelearningframework_spark.sources.catalog import Checkpointer
+
+        ck = Checkpointer(spark, args.checkpoint_dir)
+        ck.write("triples", spark.read.parquet(args.output), meta={"mode": "extract"})
+        ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad})
+    assert bad == 0, f"{bad} rows failed the content sha256 invariant"
+
+
+if __name__ == "__main__":
+    main()
