@@ -73,6 +73,18 @@ def main() -> None:
         return
 
     assert args.output, "--output required for extract"
+    ck = None
+    if args.checkpoint_dir:
+        from obiemachinelearningframework_spark.sources.catalog import Checkpointer
+
+        ck = Checkpointer(spark, args.checkpoint_dir)
+        if ck.exists("triples"):
+            # idempotent resume (north rule): the manifest is the atomic
+            # commit point — a re-run after success (or a retry racing a
+            # finished attempt) does no work and changes nothing
+            n = ck.read("triples").count()
+            print(f"resume: triples stage already committed ({n} rows); skipping extraction")
+            return
     pipe.load_weights(args.weights)
     inst = inst.cache()
     triples = pipe.predict_fused(inst)
@@ -84,10 +96,7 @@ def main() -> None:
     bad = inst.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
     n_triples = spark.read.parquet(args.output).count()
     print(f"extracted: {n_triples} triples -> {args.output}; sha256 mismatches: {bad}")
-    if args.checkpoint_dir:
-        from obiemachinelearningframework_spark.sources.catalog import Checkpointer
-
-        ck = Checkpointer(spark, args.checkpoint_dir)
+    if ck is not None:
         ck.write("triples", spark.read.parquet(args.output), meta={"mode": "extract"})
         ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad})
     assert bad == 0, f"{bad} rows failed the content sha256 invariant"

@@ -71,3 +71,10 @@ def test_submit_train_then_extract(spark, tmp_path):
     assert os.path.exists(f"{ck}/triples/_MANIFEST.json")
     metrics = [json.loads(l) for l in open(f"{ck}/_metrics.jsonl")]
     assert any(m.get("n_triples", 0) > 0 for m in metrics)
+
+    # idempotent resume: a re-run against the committed manifest does no
+    # extraction work and exits cleanly
+    p = _submit("extract", "--source", src_dir, "--weights", weights,
+                "--output", out, "--checkpoint-dir", ck)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "resume: triples stage already committed" in p.stdout
