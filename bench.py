@@ -31,6 +31,8 @@ HEADLINE = [
     "doc_fingerprint",
     "cosine_topk",
     "ann_lsh_buckets",
+    "ann_topk_bucketed",
+    "dedup_embedding",
     "pricing_summary",
     "sessionize_events",
     "token_count_bpe",
