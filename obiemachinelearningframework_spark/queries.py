@@ -16,6 +16,7 @@ Conventions:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 # ---------------------------------------------------------------------------
@@ -1133,73 +1134,132 @@ SQL_EVAL_MICRO_PRF = f"""
 """
 
 
-ANN_PLANES = 12    # the bucketed top-k uses a longer code than the
-                   # 8-plane bucket histogram: 12 bits + Hamming-2
-                   # multiprobe admits ~2% of random pairs while keeping
-                   # high recall on clustered data
-PROBE_HAMMING = 2  # multiprobe radius: query probes all buckets within
-                   # Hamming distance 2 of its own (79 of 4096 buckets) —
-                   # single-probe hyperplane LSH loses too many neighbors
-                   # (measured: recall 0.51 even on tightly clustered data)
+ANN_TABLES = 8      # multi-table LSH: L independent hash tables ...
+ANN_BITS = 10       # ... of k hyperplane bits each. Candidates = vectors
+                    # sharing ANY table's bucket (the standard L x k
+                    # construction). Collision probability on random data
+                    # ~ L / 2^k; on clustered data (per-bit agreement
+                    # ~ 1 - angle/pi) an any-of-L exact match is
+                    # near-certain — the recall/selectivity dial. The
+                    # earlier single 12-bit code + Hamming-2 multiprobe
+                    # admitted ~29% of random pairs (measured at sf0.1,
+                    # 1.17M of 4M) for LOWER clustered recall; this scheme
+                    # admits ~1-3%.
+ANN_BUCKET_CAP = 200  # per-(table, bucket) member cap: a degenerate bucket
+                      # (near-identical boilerplate vectors) would cost
+                      # O(cap^2) pairs for near-zero dedup/topk yield
 
-_PROBE_MASKS = [m for m in range(1 << ANN_PLANES) if bin(m).count("1") <= PROBE_HAMMING]
+
+def _ann_table_codes(col):
+    """array<double> embedding -> array<struct<t:int, bucket:bigint>>: the
+    ANN_TABLES bucket codes per vector. Bit b of table t is set iff the
+    projection onto hyperplane p = t*ANN_BITS + b exceeds 1e-6; a table
+    whose every projection has |proj| <= 1e-6 is omitted (exactly the SQL
+    oracle's row-drop + GROUP BY semantics). Hyperplane weights are the
+    md5(p:d) ascii recipe shared with the oracle."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    total = ANN_TABLES * ANN_BITS
+    cache: dict = {}
+
+    def w_for(dim: int) -> "np.ndarray":
+        if dim not in cache:
+            W = np.empty((total, dim))
+            for p in range(total):
+                for d in range(dim):
+                    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+                    W[p, d] = (ord(h[0]) * 256 + ord(h[1])) / 65536.0 - 0.5
+            cache[dim] = W
+        return cache[dim]
+
+    @pandas_udf("array<struct<t:int,bucket:bigint>>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype=np.float64)
+        P = V @ w_for(V.shape[1]).T                       # n x total
+        P3 = P.reshape(len(V), ANN_TABLES, ANN_BITS)
+        bits = (P3 > 1e-6).astype(np.int64)
+        buckets = (bits << np.arange(ANN_BITS, dtype=np.int64)).sum(axis=2)
+        keep = np.abs(P3).max(axis=2) > 1e-6
+        out = [
+            [
+                {"t": int(t), "bucket": int(buckets[i, t])}
+                for t in range(ANN_TABLES)
+                if keep[i, t]
+            ]
+            for i in range(len(V))
+        ]
+        return pd.Series(out)
+
+    return codes(col)
 
 
 def _ann_bucketed_cos(spark, sf_dir):
-    """Shared kernel of the LSH-bucketed similarity family: random-
-    hyperplane bucket per vector, multiprobe candidate join (buckets within
-    Hamming distance PROBE_HAMMING — never all-pairs), exact cosine on the
-    admitted pairs only. Returns (qid, nid, cos) with qid != nid (both
-    directions present)."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    """Shared kernel of the LSH-bucketed similarity family: MULTI-TABLE
+    random-hyperplane LSH — ANN_TABLES independent tables of ANN_BITS
+    md5-derived hyperplanes each; candidate pairs share at least one
+    table's bucket (never all-pairs). Hot buckets capped at ANN_BUCKET_CAP
+    members. Exact cosine on admitted pairs only, computed with array ops
+    (zip_with + aggregate) — the explode-join form multiplies the pair
+    table by the embedding dimension before shuffling it. Returns
+    (qid, nid, cos) with qid != nid (both directions present)."""
+    emb0 = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    planes = e.select("vec_id", "d", "v", F.explode(F.sequence(F.lit(0), F.lit(ANN_PLANES - 1))).alias("p"))
-    wgt = (
-        (F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 1, 1)) * 256
-         + F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 2, 1))) / 65536.0 - 0.5
-    )
-    proj = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * wgt).alias("proj"))
-    proj = proj.filter(F.abs("proj") > 1e-6)
-    bucket = proj.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
-        .cast("long").alias("bucket")
-    )
-    probes = (
-        bucket.select(F.col("vec_id").alias("qid"), "bucket")
-        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])))
-        .select("qid", F.expr("bucket ^ mask").alias("probe"))
+    # table codes via ONE vectorized pandas UDF: projections = V @ W.T (a
+    # numpy matmul per Arrow batch; W re-derived from the same md5(p:d)
+    # recipe as the SQL oracle, computed once per executor per dim). The
+    # expression form exploded dim x planes rows per vector and ran two
+    # md5() per row — 20M JVM hash calls at sf0.1 for what is a
+    # (n x d) @ (d x 80) product.
+    bucket = emb0.select(
+        "vec_id", F.explode(_ann_table_codes("vec")).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # per-(table, bucket) member gather (bounded by the cap) -> intra-bucket
+    # directed pairs via array ops; one groupBy instead of a self-join
+    docs = F.array_sort(F.collect_list("vec_id"))
+    both_dirs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x: F.transform(
+                F.filter(F.col("docs"), lambda y: y != x),
+                lambda y: F.struct(x.alias("qid"), y.alias("nid")),
+            ),
+        )
     )
     pairs = (
-        probes.join(bucket.select(F.col("vec_id").alias("nid"), F.col("bucket").alias("probe")), "probe")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
+        bucket.groupBy("t", "bucket")
+        .agg(docs.alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= ANN_BUCKET_CAP))
+        .select(F.explode(both_dirs).alias("pr"))
+        .select("pr.qid", "pr.nid")
         .distinct()
     )
-    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    ea = e.select(F.col("vec_id").alias("qid"), "d", F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("nid"), "d", F.col("v").alias("vb"))
-    dot = (
-        pairs.join(ea, "qid").join(eb, ["nid", "d"])
-        .groupBy("qid", "nid")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
+    _sum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
     return (
-        dot.join(norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("na")), "qid")
-        .join(norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("nb")), "nid")
+        pairs.join(emb.select(F.col("vec_id").alias("qid"), F.col("vec").alias("_va")), "qid")
+        .join(emb.select(F.col("vec_id").alias("nid"), F.col("vec").alias("_vb")), "nid")
+        .withColumn("dot", _sum(F.zip_with("_va", "_vb", lambda x, y: x * y)))
+        .withColumn("na", F.sqrt(_sum(F.transform("_va", lambda x: x * x))))
+        .withColumn("nb", F.sqrt(_sum(F.transform("_vb", lambda x: x * x))))
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("qid", "nid", "cos")
     )
 
 
 def q_ann_topk_bucketed(spark, sf_dir):
     """ANN top-k via LSH buckets, wired END-TO-END (the 100-TB similarity
-    path): random-hyperplane bucket per vector (as q_ann_lsh_buckets), then
-    cosine is computed ONLY for pairs whose buckets are within Hamming
-    distance PROBE_HAMMING (multiprobe equi-join on probe id — never
-    all-pairs), top-3 neighbors per query vector. Recall >= 0.9 vs brute
-    force on clustered embeddings is pinned in tests/test_ann_bucketed.py
-    (on near-orthogonal vectors no sub-quadratic scheme separates
-    neighbors from noise; the testdata's top-1 cos is only ~0.36)."""
+    path): multi-table hyperplane buckets, cosine ONLY for pairs sharing a
+    bucket (equi-join — never all-pairs), top-3 neighbors per query
+    vector. Recall >= 0.9 vs brute force on clustered embeddings is pinned
+    in tests/test_ann_bucketed.py (on near-orthogonal vectors no
+    sub-quadratic scheme separates neighbors from noise; the testdata's
+    top-1 cos is only ~0.36)."""
     cos = _ann_bucketed_cos(spark, sf_dir)
     w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
     return (
@@ -1253,61 +1313,30 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-SQL_ANN_TOPK_BUCKETED = f"""
-  WITH e AS (
-    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
-    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_PLANES})) AS p FROM e),
-  proj AS (
-    SELECT vec_id, p,
-           sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
-                     + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
-    FROM planes GROUP BY vec_id, p),
-  bucket AS (
-    SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id),
-  probes AS (
-    SELECT vec_id AS qid, xor(bucket, CAST(mask AS BIGINT)) AS probe
-    FROM bucket, (SELECT unnest(range(0, {1 << ANN_PLANES})) AS mask)
-    WHERE bit_count(CAST(mask AS BIGINT)) <= {PROBE_HAMMING}),
-  pairs AS (
-    SELECT DISTINCT p.qid, b.vec_id AS nid
-    FROM probes p JOIN bucket b ON p.probe = b.bucket AND p.qid <> b.vec_id),
-  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
-  dot AS (
-    SELECT p.qid, p.nid, sum(a.v * b.v) AS dot
-    FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid AND b.d = a.d
-    GROUP BY p.qid, p.nid),
-  cosp AS (
-    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
-    FROM dot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid),
-  ranked AS (
-    SELECT qid, nid, cos,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS INT) AS rank
-    FROM cosp)
-  SELECT qid, nid, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 3
-"""
+# SQL_ANN_TOPK_BUCKETED is defined after the shared multi-table CTE block
+# (_ANN_BUCKETED_COS_SQL) below, which it reuses verbatim.
 
 _ANN_BUCKETED_COS_SQL = f"""
   e AS (
     SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
     FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_PLANES})) AS p FROM e),
+  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_TABLES * ANN_BITS})) AS p FROM e),
   proj AS (
     SELECT vec_id, p,
            sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
                      + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
     FROM planes GROUP BY vec_id, p),
   bucket AS (
-    SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id),
-  probes AS (
-    SELECT vec_id AS qid, xor(bucket, CAST(mask AS BIGINT)) AS probe
-    FROM bucket, (SELECT unnest(range(0, {1 << ANN_PLANES})) AS mask)
-    WHERE bit_count(CAST(mask AS BIGINT)) <= {PROBE_HAMMING}),
+    SELECT vec_id, CAST(floor(p / {ANN_BITS}) AS INT) AS t,
+           CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % {ANN_BITS}) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id, CAST(floor(p / {ANN_BITS}) AS INT)),
+  ok AS (SELECT t, bucket FROM bucket GROUP BY t, bucket
+         HAVING count(*) BETWEEN 2 AND {ANN_BUCKET_CAP}),
   pairs AS (
-    SELECT DISTINCT p.qid, b.vec_id AS nid
-    FROM probes p JOIN bucket b ON p.probe = b.bucket AND p.qid <> b.vec_id),
+    SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+    FROM bucket a
+    JOIN ok ON ok.t = a.t AND ok.bucket = a.bucket
+    JOIN bucket b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id <> b.vec_id),
   norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
   dot AS (
     SELECT p.qid, p.nid, sum(a.v * b.v) AS dot
@@ -1347,6 +1376,15 @@ SQL_COSINE_PAIRS_THRESHOLD_BUCKETED = f"""
   WITH {_ANN_BUCKETED_COS_SQL.strip()}
   SELECT qid, nid, round(cos, 4) AS cos FROM cosp
   WHERE qid < nid AND round(cos, 6) >= 0.35
+"""
+
+SQL_ANN_TOPK_BUCKETED = f"""
+  WITH {_ANN_BUCKETED_COS_SQL.strip()},
+  ranked AS (
+    SELECT qid, nid, cos,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS INT) AS rank
+    FROM cosp)
+  SELECT qid, nid, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 3
 """
 
 

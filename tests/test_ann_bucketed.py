@@ -62,35 +62,14 @@ def test_bucketed_recall_on_clustered_embeddings(spark, clustered_sf_dir):
 
 
 def test_bucketed_candidate_reduction(spark, clustered_sf_dir):
-    """The point of bucketing: the multiprobe candidate-pair count (buckets
-    within Hamming distance PROBE_HAMMING) must be a small fraction of the
-    all-pairs count — here 200 vectors -> 39800 directed pairs brute
-    force; the probe join should cut >= 60%."""
+    """The point of bucketing: the multi-table any-match candidate-pair
+    count (ANN_TABLES tables x ANN_BITS bits, Q._ann_bucketed_cos) must be
+    a small fraction of the all-pairs count — here 200 vectors -> 39800
+    directed pairs brute force; the bucket join should cut >= 60%."""
     e = spark.read.parquet(f"{clustered_sf_dir}/embeddings.parquet")
     n = e.count()
     all_pairs = n * (n - 1)
-    ex = e.select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
-    planes = ex.select(
-        "vec_id", "d", "v", F.explode(F.sequence(F.lit(0), F.lit(Q.ANN_PLANES - 1))).alias("p")
-    )
-    wgt = (
-        (F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 1, 1)) * 256
-         + F.ascii(F.substring(F.md5(F.concat_ws(":", "p", "d")), 2, 1))) / 65536.0 - 0.5
-    )
-    proj = planes.groupBy("vec_id", "p").agg(F.sum(F.col("v") * wgt).alias("proj")).filter(
-        F.abs("proj") > 1e-6
-    )
-    bucket = proj.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0)))
-        .cast("long").alias("bucket")
-    )
-    codes = np.array([r["bucket"] for r in bucket.collect()], dtype=np.int64)
-    x = codes[:, None] ^ codes[None, :]
-    ham = np.zeros_like(x)
-    for _ in range(Q.ANN_PLANES):
-        ham += x & 1
-        x >>= 1
-    cand_pairs = int((ham <= Q.PROBE_HAMMING).sum()) - len(codes)  # minus self-pairs
+    cand_pairs = Q._ann_bucketed_cos(spark, clustered_sf_dir).count()
     assert cand_pairs <= 0.4 * all_pairs, (
         f"bucketing scored {cand_pairs}/{all_pairs} pairs — no reduction"
     )
