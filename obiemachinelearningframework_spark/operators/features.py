@@ -171,6 +171,20 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         .otherwise(F.lit("gt1024"))
     )
     cdist_sign = F.when(cgap < 0, F.lit("-")).otherwise(F.lit("+"))
+    # LocalityTemplate token-distance variant: tokens between root and
+    # candidate, counted on the bounded in-between slice (<= IB_MAX_CHARS);
+    # "neg" = candidate before the root, "far" = beyond the slice. Together
+    # with the sentence bins and cdist this completes the Locality family's
+    # three distance units (sentence / char / token).
+    _ib_ntok = F.size(F.filter(F.split(F.lower("_ib_raw"), r"\W+"), lambda t: F.length(t) >= 1))
+    tokdist_bin = (
+        F.when(F.col("onset") <= F.col("root_onset"), F.lit("neg"))
+        .when(F.col("_ib_raw").isNull(), F.lit("far"))
+        .when(_ib_ntok <= 1, F.lit("le1"))
+        .when(_ib_ntok <= 3, F.lit("le3"))
+        .when(_ib_ntok <= 10, F.lit("le10"))
+        .otherwise(F.lit("gt10"))
+    )
     after_root = F.col("onset") > F.col("root_onset")
     before_next = F.col("next_root_onset").isNull() | (F.col("onset") < F.col("next_root_onset"))
     nearest = F.col("is_nearest_root") == 1
@@ -226,6 +240,7 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         _fs(F.concat(F.lit("bias["), slot, F.lit("]"))),
         _fs(F.concat(F.lit("dist["), slot, F.lit("]="), dist_bin)),
         _fs(F.concat(F.lit("cdist["), slot, F.lit("]="), cdist_sign, cdist_bin)),
+        _fs(F.concat(F.lit("tokdist["), slot, F.lit("]="), tokdist_bin)),
         _fs_if(after_root, F.concat(F.lit("after_root["), slot, F.lit("]"))),
         _fs_if(before_next, F.concat(F.lit("before_next["), slot, F.lit("]"))),
         _fs_if(after_root & before_next, F.concat(F.lit("in_block["), slot, F.lit("]"))),

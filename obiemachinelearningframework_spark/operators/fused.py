@@ -378,6 +378,17 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
     else:
         cb = "gt1024"
     yield f"cdist[{slot}]={'-' if cgap < 0 else '+'}{cb}", 1.0
+    # LocalityTemplate token-distance bins — identical rules to
+    # features.compute_features (tokdist_bin there)
+    _gap0 = onset - r["offset"]
+    if onset <= r["onset"]:
+        tb = "neg"
+    elif not (0 < _gap0 <= IB_MAX_CHARS):
+        tb = "far"
+    else:
+        nt = len([t for t in _NONWORD.split(content[r["offset"]:onset].lower()) if t])
+        tb = "le1" if nt <= 1 else "le3" if nt <= 3 else "le10" if nt <= 10 else "gt10"
+    yield f"tokdist[{slot}]={tb}", 1.0
     after_root = onset > r["onset"]
     before_next = r["next_root_onset"] is None or onset < r["next_root_onset"]
     nearest = stats["nearest"].get((slot, onset, c["obj_id"])) == r["root_id"]

@@ -25,6 +25,7 @@ from obiemachinelearningframework_spark.operators.mentions import (
 FAMILIES = [
     "bias", "dist", "after_root", "before_next", "in_block", "nearest_root",
     "cdist",             # GlobalLocalityTemplate (char-distance bins)
+    "tokdist",           # LocalityTemplate (token-distance bins)
     "filler",            # GenericMainTemplatePrior
     "ctx_l1", "ctx_l2", "ctx_l3", "ctx_r1", "ctx_r2", "ctx_r3",  # TokenContext ±3
     "ctx_l2l1", "ctx_r1r2", "ctx_l1r1",  # TokenContext combinations
