@@ -37,6 +37,7 @@ HEADLINE = [
     "sessionize_events",
     "token_count_bpe",
     "multimodal_image_stats",
+    "multimodal_audio_stats",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

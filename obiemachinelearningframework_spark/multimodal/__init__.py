@@ -4,6 +4,7 @@ from .assets import (
     RAW_VIDEO_MAGIC,
     synthesize_assets,
     assets_from_documents,
+    audio_assets_from_documents,
 )
 from .decode import decode_images, resize_images, image_features, frame_sample, audio_features
 

@@ -86,6 +86,25 @@ def encode_md5_image(asset_id: int, w: int = 16, h: int = 12, c: int = 3) -> byt
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + md5_pixels(asset_id, w * h * c)
 
 
+def md5_bytes(key_prefix: str, asset_id: int, n_bytes: int) -> bytes:
+    """md5-derived byte stream with a stream prefix (so image and audio
+    assets of the same id draw from independent streams)."""
+    import hashlib
+
+    out = bytearray()
+    for blk in range((n_bytes + 15) // 16):
+        out += hashlib.md5(f"{key_prefix}{asset_id}:{blk}".encode()).digest()
+    return bytes(out[:n_bytes])
+
+
+def encode_md5_audio(asset_id: int, sample_rate: int = 8000, n: int = 400) -> bytes:
+    """RAW PCM16 audio whose samples are the md5-derived byte stream
+    (stream key 'a<asset_id>:<blk>', little-endian int16) — SQL-recomputable
+    like encode_md5_image, so decoded RMS stats are oracle-able
+    (queries.q_multimodal_audio_stats)."""
+    return RAW_AUDIO_MAGIC + struct.pack("<ii", sample_rate, n) + md5_bytes("a", asset_id, 2 * n)
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -159,6 +178,31 @@ def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
                     "meta": [
                         {"width": 16, "height": 12, "channels": 3, "sample_rate": None,
                          "n_samples": None, "n_frames": None, "codec": "raw-img"}
+                    ] * len(rows),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def audio_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Audio twin of assets_from_documents: one md5-PCM16 asset per
+    document (independent byte stream from the image one), so the audio
+    decode path is also DuckDB-verifiable."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(int(i), bytearray(encode_md5_audio(int(i)))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": ["audio"] * len(rows),
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {"width": None, "height": None, "channels": None,
+                         "sample_rate": 8000, "n_samples": 400, "n_frames": None,
+                         "codec": "raw-pcm16"}
                     ] * len(rows),
                 }
             )

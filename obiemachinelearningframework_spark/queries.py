@@ -553,6 +553,55 @@ QUERIES["multimodal_image_stats"] = q_multimodal_image_stats
 ORACLES["multimodal_image_stats"] = SQL_MULTIMODAL_IMAGE_STATS
 
 
+def q_multimodal_audio_stats(spark, sf_dir):
+    """Audio twin of the image decode path, oracle-verified end-to-end:
+    derive a deterministic PCM16 asset per document (samples =
+    md5('a<asset_id>:<blk>') byte stream, little-endian int16), decode via
+    the binary-column mapInPandas codec, extract RMS energy, aggregate per
+    16-bucket asset_id band. The DuckDB oracle reassembles the same int16
+    samples from md5 hex digits."""
+    from .multimodal import audio_assets_from_documents
+    from .multimodal.decode import audio_features
+
+    assets = audio_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = audio_features(assets)
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+        )
+    )
+
+
+# RMS of an md5-PCM16 asset: byte k is hex pair (k % 16) of
+# md5('a<asset_id>:<k // 16>'); sample j = byte(2j) + 256*byte(2j+1),
+# two's-complement int16, normalized by 32768 — SQL-recomputable
+SQL_MULTIMODAL_AUDIO_STATS = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  blocks AS (SELECT asset_id, unnest(range(0, 50)) AS blk FROM ids),
+  hx AS (SELECT asset_id, blk,
+                md5('a' || CAST(asset_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)) AS h
+         FROM blocks),
+  bytes AS (SELECT asset_id, blk * 16 + i AS k,
+                   (strpos('0123456789abcdef', substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+            FROM (SELECT asset_id, blk, h, unnest(range(0, 16)) AS i FROM hx)),
+  samples AS (SELECT asset_id, CAST(floor(k / 2) AS INT) AS j,
+                     sum(CASE WHEN k % 2 = 0 THEN b ELSE 256 * b END) AS v
+              FROM bytes GROUP BY asset_id, CAST(floor(k / 2) AS INT)),
+  signed AS (SELECT asset_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM samples),
+  rms AS (SELECT asset_id,
+                 round(sqrt(avg((CAST(s AS DOUBLE) / 32768.0) * (CAST(s AS DOUBLE) / 32768.0))), 6) AS rms
+          FROM signed GROUP BY asset_id)
+  SELECT asset_id % 16 AS band, count(*) AS n, round(avg(rms), 4) AS avg_rms
+  FROM rms GROUP BY band
+"""
+
+QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
+ORACLES["multimodal_audio_stats"] = SQL_MULTIMODAL_AUDIO_STATS
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):
