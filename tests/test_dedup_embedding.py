@@ -23,12 +23,10 @@ N_CLUSTERS, PER_CLUSTER, DIM = 6, 20, 16
 @pytest.fixture(scope="module")
 def clustered_sf_dir(spark, tmp_path_factory):
     # centers drawn orthogonal-ish (QR of a random matrix) so no two
-    # planted clusters sit above the dedup threshold by accident
-    # noise 0.01 keeps every member's 12-bit LSH code within the Hamming-2
-    # probe radius of its cluster-mates (verified by offline simulation of
-    # the same md5-derived hyperplanes); at 0.03 a boundary-straddling
-    # cluster can scatter beyond the probe radius and split — real LSH
-    # recall behavior, not a bug
+    # planted clusters sit above the dedup threshold by accident;
+    # noise 0.01 keeps cluster-mates agreeing on at least one of the
+    # ANN_TABLES 10-bit codes (any-table match), so every planted cluster
+    # stays fully connected through the threshold edges
     rng = np.random.RandomState(23)
     centers, _ = np.linalg.qr(rng.normal(0, 1, (DIM, N_CLUSTERS)))
     rows, vid = [], 0
