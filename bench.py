@@ -169,16 +169,20 @@ def main() -> None:
 
 
 def _read_cpu_times() -> dict:
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
-    return dict(zip(names, (int(x) for x in parts[1 : len(names) + 1])))
+    # single source of truth for /proc/stat accounting: the no-Spark
+    # machine-capability control and the scaling bench must report steal
+    # the same way or the BENCH/BASELINE.md pair justification drifts
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from machine_control import read_cpu_times
+
+    return read_cpu_times()
 
 
 def _steal_pct(before: dict, after: dict) -> float:
-    d = {k: after[k] - before[k] for k in before}
-    tot = sum(d.values())
-    return 100.0 * d["steal"] / tot if tot else 0.0
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from machine_control import steal_pct
+
+    return steal_pct(before, after)
 
 
 def _train_once(weights_path: str, cpus: int) -> None:

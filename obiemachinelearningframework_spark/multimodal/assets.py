@@ -72,12 +72,7 @@ def md5_pixels(asset_id: int, n_bytes: int) -> bytes:
     chosen over the numpy PCG64 stream because an independent SQL engine
     can recompute md5 hex digits, making decoded-image statistics
     oracle-able (see queries.q_multimodal_image_stats)."""
-    import hashlib
-
-    out = bytearray()
-    for blk in range((n_bytes + 15) // 16):
-        out += hashlib.md5(f"{asset_id}:{blk}".encode()).digest()
-    return bytes(out[:n_bytes])
+    return md5_bytes("", asset_id, n_bytes)
 
 
 def encode_md5_image(asset_id: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:

@@ -406,7 +406,11 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
     yield f"filler[{slot}]={cls}", 1.0
     # TokenContextTemplate ±2 window over the bounded slices
     left_raw = content[max(0, onset - CTX_CHARS - 1) : max(0, onset - 1)]
-    right_raw = content[offset : offset + CTX_CHARS]
+    # clamp for evidence-free candidates (onset = offset = -1): the
+    # relational plan's substring(content, offset + 1, CTX) treats pos 0 as
+    # 1 and yields the doc head; Python's negative index would silently
+    # yield '' and fork the two plans' features
+    right_raw = content[max(offset, 0) : max(offset, 0) + CTX_CHARS]
     lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
     rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
     for nm, arr, idx in (

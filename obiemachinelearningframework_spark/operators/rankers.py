@@ -208,4 +208,5 @@ def active_learning_rounds(
         labeled_df = new_labeled
         history.append({"round": rnd, "labeled": n_labeled,
                         "pool": int(pool.count()), "picked": sorted(picked)})
+    labeled_df.unpersist()
     return history

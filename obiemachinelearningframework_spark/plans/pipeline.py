@@ -155,6 +155,11 @@ class OBIEPipeline:
         # it is still lazy they RACE and each recomputes the regex kernel
         # (observed: 3 concurrent duplicate kernel jobs). One count pins it.
         mentions.count()
+        # the raw kernel cache only exists to feed the mentions cache just
+        # materialized — release it now, or every predict() call pins a
+        # corpus-mention-sized block for the session lifetime
+        for c in caches:
+            c.unpersist()
         roots, candidates = self.roots_and_candidates(mentions)
         pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology, kb_triples)
         assignments = greedy_fill(pairs, self.ontology, self.thresholds)

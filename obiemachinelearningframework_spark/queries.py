@@ -310,6 +310,34 @@ SQL_MINHASH_SIGNATURE = f"""
 """
 
 
+def _intra_bucket_pairs(a_name: str, b_name: str, both_directions: bool = False):
+    """Pairs WITHIN a gathered bucket array column named ``docs`` (sorted):
+    ordered (a < b) pairs by default, or both directions. Shared by the
+    MinHash-band, shingle-Jaccard, and ANN bucket operators — the bucket
+    sizes are capped upstream, so the array stays tiny and the pair
+    generation needs no self-join."""
+    docs = F.col("docs")
+    if both_directions:
+        return F.flatten(
+            F.transform(
+                docs,
+                lambda x: F.transform(
+                    F.filter(docs, lambda y: y != x),
+                    lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+                ),
+            )
+        )
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 MAX_BUCKET_DOCS = 50   # LSH hot-bucket cap: a band bucket holding > N docs
                        # is a degenerate collision (boilerplate shingle set);
                        # joining it costs O(N^2) pairs for near-zero yield —
@@ -341,15 +369,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # ordered pairs JVM-side. vs the semi-join + self-join form this saves
     # 3 shuffles of the bands table — the dominant exchange at corpus scale.
     docs = F.array_sort(F.collect_list("doc_id"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + F.lit(2), F.greatest(F.size("docs") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = _intra_bucket_pairs("doc_a", "doc_b")
     return (
         bands.groupBy("band", "bucket")
         .agg(docs.alias("docs"))
@@ -422,15 +442,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # come from array ops (<= cap^2/2 per shingle), so the expensive
     # token->shingle subtree is scanned once and never self-joined.
     docs = F.array_sort(F.collect_list("doc_id"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + F.lit(2), F.greatest(F.size("docs") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = _intra_bucket_pairs("doc_a", "doc_b")
     g = (
         sh0.groupBy("shingle")
         .agg(docs.alias("docs"))
@@ -1269,15 +1281,7 @@ def _ann_bucketed_cos(spark, sf_dir):
     # per-(table, bucket) member gather (bounded by the cap) -> intra-bucket
     # directed pairs via array ops; one groupBy instead of a self-join
     docs = F.array_sort(F.collect_list("vec_id"))
-    both_dirs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x: F.transform(
-                F.filter(F.col("docs"), lambda y: y != x),
-                lambda y: F.struct(x.alias("qid"), y.alias("nid")),
-            ),
-        )
-    )
+    both_dirs = _intra_bucket_pairs("qid", "nid", both_directions=True)
     pairs = (
         bucket.groupBy("t", "bucket")
         .agg(docs.alias("docs"))

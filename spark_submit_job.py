@@ -96,10 +96,13 @@ def main() -> None:
     bad = inst.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
     n_triples = spark.read.parquet(args.output).count()
     print(f"extracted: {n_triples} triples -> {args.output}; sha256 mismatches: {bad}")
+    # the invariant must gate the COMMIT: asserting after ck.write would
+    # leave a committed manifest behind, and the idempotent-resume path
+    # would then mask the violation on every retry
+    assert bad == 0, f"{bad} rows failed the content sha256 invariant"
     if ck is not None:
         ck.write("triples", spark.read.parquet(args.output), meta={"mode": "extract"})
         ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad})
-    assert bad == 0, f"{bad} rows failed the content sha256 invariant"
 
 
 if __name__ == "__main__":
