@@ -109,6 +109,7 @@ def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS,
     if relational_too:
         t0 = time.perf_counter()
         pipe.predict(inst)["triples"].count()
+        pipe.release_caches()
         relational_s = time.perf_counter() - t0
     return n_triples, fused_s, fit_s, relational_s
 
@@ -168,21 +169,24 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _read_cpu_times() -> dict:
-    # single source of truth for /proc/stat accounting: the no-Spark
-    # machine-capability control and the scaling bench must report steal
-    # the same way or the BENCH/BASELINE.md pair justification drifts
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from machine_control import read_cpu_times
+def _machine_control():
+    """Single source of truth for /proc/stat accounting: the no-Spark
+    machine-capability control and the scaling bench must report steal the
+    same way or the BENCH/BASELINE.md pair justification drifts."""
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import machine_control
 
-    return read_cpu_times()
+    return machine_control
+
+
+def _read_cpu_times() -> dict:
+    return _machine_control().read_cpu_times()
 
 
 def _steal_pct(before: dict, after: dict) -> float:
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from machine_control import steal_pct
-
-    return steal_pct(before, after)
+    return _machine_control().steal_pct(before, after)
 
 
 def _train_once(weights_path: str, cpus: int) -> None:
@@ -264,7 +268,7 @@ def _pair_section(pr: dict) -> str:
         "|---|---|---|---|---|\n"
         f"| local[{lo}] | {rlo['queries']['obie_extract']} | {rlo['obie_triples']} | {thr_lo} | {rlo.get('steal_pct')} |\n"
         f"| local[{hi}] | {rhi['queries']['obie_extract']} | {rhi['obie_triples']} | {thr_hi} | {rhi.get('steal_pct')} |\n\n"
-        f"- **Extraction scaling efficiency (thr{hi}/thr{lo})/{hi // lo} = {eff:.3f}**\n"
+        f"- **Extraction scaling efficiency (thr{hi}/thr{lo})/{hi / lo:g} = {eff:.3f}**\n"
         f"- all runs local[{lo}] extract (s): "
         f"{[r['queries']['obie_extract'] for r in runs[lo]]} "
         f"(steal% {[r.get('steal_pct') for r in runs[lo]]})\n"

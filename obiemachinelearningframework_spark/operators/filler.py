@@ -28,10 +28,16 @@ ASSIGNMENT_COLS = [
 
 
 def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
-                 weights_df: DataFrame, ontology=None, kb_triples: DataFrame | None = None) -> DataFrame:
+                 weights_df: DataFrame, ontology=None, kb_triples: DataFrame | None = None,
+                 cache_registry: list | None = None) -> DataFrame:
     # pairs feeds both the feature pass and the final join-back: cache so
-    # the window-heavy build_pairs subtree is evaluated once
+    # the window-heavy build_pairs subtree is evaluated once. The handle is
+    # recorded in cache_registry (when given) so the CALLER can unpersist
+    # once its outputs are materialized — otherwise every invocation pins a
+    # pairs-sized cache for the session lifetime.
     pairs = build_pairs(roots, candidates, instances).cache()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
     feats = compute_features(pairs, ontology, kb_triples=kb_triples)
     scores = score_pairs(feats, weights_df)
     # join back on (doc_key, pair_id): both sides carry the doc_key

@@ -648,7 +648,12 @@ def py_link_map(tokens, ontology, top_k=None) -> dict:
                 best = (key, tid)
         if best is not None:
             tid = best[1]
-            out[tok] = (tid, ind_class.get(tid))
+            if tid not in ind_class:
+                # mirror the relational path's INNER join against the
+                # individuals table (linking.build_link_map): a dictionary
+                # surface whose type has no individual row yields no link
+                continue
+            out[tok] = (tid, ind_class[tid])
     return out
 
 

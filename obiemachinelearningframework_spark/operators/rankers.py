@@ -176,12 +176,14 @@ def active_learning_rounds(
     # driver only ever holds the per-round picked batch, which is b-sized)
     n_docs = instances.count()
     n_seed = max(1, int(math.ceil(n_docs * seed_frac)))
-    w_seed = W.orderBy(F.xxhash64("doc_key", F.lit(seed)), F.asc("doc_key"))
+    # orderBy + limit, NOT a global row_number window: an un-partitioned
+    # window funnels every doc_key through one task; sort-limit pushdown
+    # keeps the top-n selection parallel (each partition keeps its local
+    # top n_seed, the driver merges n_seed-sized heads)
     labeled_df = (
         instances.select("doc_key")
-        .withColumn("_rn", F.row_number().over(w_seed))
-        .filter(F.col("_rn") <= n_seed)
-        .select("doc_key")
+        .orderBy(F.xxhash64("doc_key", F.lit(seed)), F.asc("doc_key"))
+        .limit(n_seed)
         .cache()
     )
     n_labeled = labeled_df.count()  # pins the cache
@@ -208,5 +210,8 @@ def active_learning_rounds(
         labeled_df = new_labeled
         history.append({"round": rnd, "labeled": n_labeled,
                         "pool": int(pool.count()), "picked": sorted(picked)})
+        # the picks are collected — free the mentions/pairs caches this
+        # round's predict() pinned before the next round re-predicts
+        pipeline.release_caches()
     labeled_df.unpersist()
     return history

@@ -42,6 +42,16 @@ class OBIEPipeline:
         self.trainer = trainer
         self.weights: pd.DataFrame | None = None
         self.thresholds: dict = {}
+        self._predict_caches: list = []
+
+    def release_caches(self) -> None:
+        """Unpersist the caches the last predict() pinned (mentions + the
+        pairs table). Call after materializing its outputs; predict() also
+        calls it on entry, so repeated predicts (e.g. the AL loop) never
+        accumulate cached corpora."""
+        for c in self._predict_caches:
+            c.unpersist()
+        self._predict_caches = []
 
     TRAIN_COLLECT_MAX_PAIRS = 200_000
 
@@ -160,8 +170,14 @@ class OBIEPipeline:
         # corpus-mention-sized block for the session lifetime
         for c in caches:
             c.unpersist()
+        # mentions + the pairs cache inside scored_pairs stay pinned while
+        # the returned (lazy) DataFrames are in use; release_caches() frees
+        # them once the caller has materialized its outputs
+        self.release_caches()
+        self._predict_caches.append(mentions)
         roots, candidates = self.roots_and_candidates(mentions)
-        pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology, kb_triples)
+        pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology, kb_triples,
+                             cache_registry=self._predict_caches)
         assignments = greedy_fill(pairs, self.ontology, self.thresholds)
         triples = materialize_triples(assignments)
         # cross-doc canonicalization: entity ids from dictionary grounding

@@ -1290,13 +1290,10 @@ def _ann_bucketed_cos(spark, sf_dir):
         .select("pr.qid", "pr.nid")
         .distinct()
     )
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
     _sum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
     return (
-        pairs.join(emb.select(F.col("vec_id").alias("qid"), F.col("vec").alias("_va")), "qid")
-        .join(emb.select(F.col("vec_id").alias("nid"), F.col("vec").alias("_vb")), "nid")
+        pairs.join(emb0.select(F.col("vec_id").alias("qid"), F.col("vec").alias("_va")), "qid")
+        .join(emb0.select(F.col("vec_id").alias("nid"), F.col("vec").alias("_vb")), "nid")
         .withColumn("dot", _sum(F.zip_with("_va", "_vb", lambda x, y: x * y)))
         .withColumn("na", F.sqrt(_sum(F.transform("_va", lambda x: x * x))))
         .withColumn("nb", F.sqrt(_sum(F.transform("_vb", lambda x: x * x))))

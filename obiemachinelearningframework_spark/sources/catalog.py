@@ -97,3 +97,15 @@ class Checkpointer:
     def log_metrics(self, stage: str, metrics: dict) -> None:
         with open(f"{self.base}/_metrics.jsonl", "a") as f:
             f.write(json.dumps({"stage": stage, **metrics}) + "\n")
+
+    def stage_metrics(self, stage: str) -> dict:
+        """Latest metrics record logged for a stage ({} when none)."""
+        path = f"{self.base}/_metrics.jsonl"
+        out: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("stage") == stage:
+                        out = rec
+        return out

@@ -73,6 +73,20 @@ def main() -> None:
         return
 
     assert args.output, "--output required for extract"
+
+    def corpus_digest():
+        """Order-insensitive digest of per-row sha256(content) over the
+        source as THIS run reads it — the per-row invariant's carrier: a
+        resumed/retried run recomputes it and compares against the value
+        the committed manifest recorded, so a swapped or corrupted source
+        between attempts is detected (an in-plan self-comparison would be
+        a tautology: both sides would derive from the same bytes)."""
+        return (
+            source.select(F.conv(F.substring(F.sha2("content", 256), 1, 15), 16, 10)
+                          .cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h").cast("string")).collect()[0][0]
+        )
+
     ck = None
     if args.checkpoint_dir:
         from obiemachinelearningframework_spark.sources.catalog import Checkpointer
@@ -81,7 +95,14 @@ def main() -> None:
         if ck.exists("triples"):
             # idempotent resume (north rule): the manifest is the atomic
             # commit point — a re-run after success (or a retry racing a
-            # finished attempt) does no work and changes nothing
+            # finished attempt) does no work and changes nothing, but the
+            # content invariant IS re-checked against the committed digest
+            committed = ck.stage_metrics("triples").get("content_digest")
+            live = corpus_digest()
+            assert committed is None or committed == live, (
+                f"source content changed since the committed run "
+                f"(digest {live} != committed {committed})"
+            )
             n = ck.read("triples").count()
             print(f"resume: triples stage already committed ({n} rows); skipping extraction")
             return
@@ -90,10 +111,13 @@ def main() -> None:
     triples = pipe.predict_fused(inst)
     write_triples(triples, inst, args.output)
 
-    # per-row invariant: content sha256 equality vs the source table
-    # (BASELINE.json); prepare() carries sha256 through, so the check is
-    # one aggregation over the instances already in cache
-    bad = inst.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
+    # per-row invariant vs the source table (BASELINE.json): if the source
+    # stores a sha256 column, every row must match the recomputed hash; the
+    # corpus digest is additionally recorded so resumes re-verify it
+    bad = 0
+    if "sha256" in source.columns:
+        bad = source.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
+    digest = corpus_digest()
     n_triples = spark.read.parquet(args.output).count()
     print(f"extracted: {n_triples} triples -> {args.output}; sha256 mismatches: {bad}")
     # the invariant must gate the COMMIT: asserting after ck.write would
@@ -102,7 +126,8 @@ def main() -> None:
     assert bad == 0, f"{bad} rows failed the content sha256 invariant"
     if ck is not None:
         ck.write("triples", spark.read.parquet(args.output), meta={"mode": "extract"})
-        ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad})
+        ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad,
+                                   "content_digest": digest})
 
 
 if __name__ == "__main__":
