@@ -139,7 +139,10 @@ def propose_roots(mentions: DataFrame, ontology) -> DataFrame:
         F.col("individual_id").alias("anchor_individual_id"),
         "onset", "offset", "sent_idx",
     )
-    w = W.partitionBy("doc_key").orderBy("onset")
+    # root_id tie-break: two individuals anchored at the SAME onset (kept
+    # ambiguous spans) would otherwise get nondeterministic lead() values —
+    # and fused._doc_roots sorts by (onset, root_id)
+    w = W.partitionBy("doc_key").orderBy("onset", "root_id")
     return roots.withColumn("next_root_onset", F.lead("onset").over(w))
 
 

@@ -60,17 +60,25 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     return comp
 
 
-def canonicalization_edges(triples: DataFrame, label_similarity_edges: DataFrame | None = None) -> DataFrame:
+def canonicalization_edges(triples: DataFrame, label_similarity_edges: DataFrame | None = None,
+                           entity_ids: DataFrame | None = None) -> DataFrame:
     """Entity graph edges: identity self-edges for every entity appearing as
-    subj or non-literal obj, plus optional externally-computed similarity
-    edges (e.g. the fuzzy-linking join output)."""
-    ents = (
-        triples.select(F.col("subj").alias("id"))
-        .union(triples.filter(F.col("obj").contains("::") | F.col("obj").startswith("team_")
-                              | F.col("obj").startswith("player_") | F.col("obj").startswith("compound_"))
-               .select(F.col("obj").alias("id")))
-        .distinct()
-    )
+    subj or entity-valued obj, plus optional externally-computed similarity
+    edges (e.g. the fuzzy-linking join output).
+
+    Which objs are entities (vs literals) comes from the ONTOLOGY —
+    ``entity_ids`` is a one-column (``id``) table of known individual ids
+    (broadcast; vocabulary-sized). Skolem ids (containing ``::``) are
+    always entities. Without ``entity_ids``, only subjects and skolems get
+    self-edges — never a hardcoded id-prefix test."""
+    ent_objs = triples.filter(F.col("obj").contains("::")).select(F.col("obj").alias("id"))
+    if entity_ids is not None:
+        ent_objs = ent_objs.union(
+            triples.join(
+                F.broadcast(entity_ids.select(F.col("id").alias("obj"))), "obj", "left_semi"
+            ).select(F.col("obj").alias("id"))
+        )
+    ents = triples.select(F.col("subj").alias("id")).union(ent_objs).distinct()
     self_edges = ents.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     if label_similarity_edges is not None:
         return self_edges.unionByName(label_similarity_edges.select("src", "dst"))

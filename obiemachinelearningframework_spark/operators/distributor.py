@@ -23,16 +23,28 @@ def original_split(instances: DataFrame, splits: DataFrame) -> dict:
 
 def shuffle_split(instances: DataFrame, train: float = 0.6, dev: float = 0.2,
                   seed: int = 100) -> DataFrame:
-    """Deterministic proportional split: rank by hash(doc_key, seed)."""
-    w = W.orderBy(F.xxhash64("doc_key", F.lit(seed)))
+    """Deterministic proportional split: rank by hash(doc_key, seed).
+    Exact proportions via two parallel sort-limits (sort-limit pushdown:
+    each partition keeps a local head, the driver merges heads) — NOT a
+    global row_number window, which funnels the whole corpus through one
+    task."""
     n = instances.count()
-    ranked = instances.withColumn("_r", F.row_number().over(w))
-    return ranked.withColumn(
-        "split",
-        F.when(F.col("_r") <= int(n * train), "train")
-        .when(F.col("_r") <= int(n * (train + dev)), "dev")
-        .otherwise("test"),
-    ).drop("_r")
+    h = instances.select(
+        "doc_key", F.xxhash64("doc_key", F.lit(seed)).alias("_h")
+    ).orderBy("_h", "doc_key")
+    train_k = h.limit(int(n * train)).select("doc_key").withColumn("split", F.lit("train"))
+    dev_k = (
+        h.limit(int(n * (train + dev)))
+        .select("doc_key")
+        .join(train_k.select("doc_key"), "doc_key", "left_anti")
+        .withColumn("split", F.lit("dev"))
+    )
+    labeled = train_k.unionByName(dev_k)
+    return (
+        instances.drop("split")
+        .join(labeled, "doc_key", "left")
+        .withColumn("split", F.coalesce("split", F.lit("test")))
+    )
 
 
 def fold_split(instances: DataFrame, n_folds: int = 5, seed: int = 100) -> DataFrame:

@@ -361,8 +361,12 @@ def strict_nel_prf(pred_mentions: DataFrame, gold_mentions: DataFrame,
     g = gold_mentions.select(*keys).dropDuplicates()
     tp = p.join(g, keys, "inner").count()
     n_pred, n_gold = p.count(), g.count()
-    prec = tp / n_pred if n_pred else 0.0
-    rec = tp / n_gold if n_gold else 0.0
+    # empty-set convention matches triple_prf/micro_prf: predicting nothing
+    # is vacuous precision 1.0 (not 0.0), so the evaluators agree on the
+    # degenerate case and mixed-metric gates cannot disagree about it;
+    # F1 is unchanged either way whenever recall is 0
+    prec = tp / n_pred if n_pred else 1.0
+    rec = tp / n_gold if n_gold else 1.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {"tp": tp, "fp": n_pred - tp, "fn": n_gold - tp,
             "precision": prec, "recall": rec, "f1": f1}

@@ -68,7 +68,11 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     ib_cond = (F.col("onset") > F.col("root_onset")) & (gap > 0) & (gap <= IB_MAX_CHARS)
     pairs = pairs.withColumn(
         "_l_raw",
-        F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS}), least(onset - 1, {CTX_CHARS}))"),
+        # the CTX_CHARS chars IMMEDIATELY preceding the mention (1-based
+        # positions onset-CTX+1 .. onset): the earlier onset-CTX..onset-1
+        # form always dropped the adjacent character, corrupting ctx_l1
+        # whenever a mention does not start at a \\b boundary
+        F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS} + 1), least(onset, {CTX_CHARS}))"),
     ).withColumn(
         "_r_raw", F.expr(f"substring(content, offset + 1, {CTX_CHARS})")
     ).withColumn(
@@ -84,10 +88,17 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     pairs = pairs.withColumn("is_nearest_root", (F.row_number().over(w_near) == 1).cast("int"))
     return pairs.withColumn(
         "pair_id",
+        # class_id MUST be part of the scope identity: two datatype
+        # candidates of different classes can share (slot, obj_id, onset)
+        # (e.g. sibling datatype classes matching the same literal), and a
+        # collision would sum both candidates' features under one pair —
+        # diverging from the fused kernel, which scores candidates
+        # individually
         F.sha2(
             F.concat_ws(
                 "\x01", "doc_key", "root_id", "slot_name",
-                F.coalesce("obj_id", F.lit("")), F.col("onset").cast("string"),
+                F.coalesce("obj_id", F.lit("")), F.coalesce("class_id", F.lit("")),
+                F.col("onset").cast("string"),
             ),
             256,
         ),

@@ -405,7 +405,7 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
     cls = c["class_id"] if c["class_id"] is not None else "null"
     yield f"filler[{slot}]={cls}", 1.0
     # TokenContextTemplate ±2 window over the bounded slices
-    left_raw = content[max(0, onset - CTX_CHARS - 1) : max(0, onset - 1)]
+    left_raw = content[max(0, onset - CTX_CHARS) : max(onset, 0)]
     # clamp for evidence-free candidates (onset = offset = -1): the
     # relational plan's substring(content, offset + 1, CTX) treats pos 0 as
     # 1 and yields the doc head; Python's negative index would silently

@@ -64,14 +64,19 @@ def rank_variance(pairs_with_scores: DataFrame) -> DataFrame:
 
 
 def rank_margin(pairs_with_scores: DataFrame) -> DataFrame:
-    """Best minus second-best per (doc, root, slot), min over doc."""
+    """Best minus second-best per (doc, root, slot), min over doc. A slot
+    with a single candidate uses |top1| (distance from the 0 decision
+    boundary) so single-candidate docs still rank instead of silently
+    dropping out of the AL pool."""
     w = W.partitionBy("doc_key", "root_id", "slot_name").orderBy(F.desc("score"))
     ranked = pairs_with_scores.withColumn("_rn", F.row_number().over(w)).filter("_rn <= 2")
     margins = ranked.groupBy("doc_key", "root_id", "slot_name").agg(
         (F.max("score") - F.min("score")).alias("margin"),
+        F.abs(F.max("score")).alias("abs_top1"),
         F.count("*").alias("n"),
     )
-    return margins.filter("n = 2").groupBy("doc_key").agg(F.min("margin").alias("rank_score"))
+    per_slot = F.when(F.col("n") >= 2, F.col("margin")).otherwise(F.col("abs_top1"))
+    return margins.groupBy("doc_key").agg(F.min(per_slot).alias("rank_score"))
 
 
 def rank_length(instances: DataFrame) -> DataFrame:
@@ -151,9 +156,11 @@ RANKERS = {
 
 
 def pick_batch(ranked: DataFrame, b: int) -> DataFrame:
-    """The AL acquisition step: b smallest rank_scores (ties by doc_key)."""
-    w = W.orderBy(F.asc("rank_score"), F.asc("doc_key"))
-    return ranked.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= b).select("doc_key")
+    """The AL acquisition step: b smallest rank_scores (ties by doc_key).
+    orderBy + limit, not a global window — sort-limit pushdown keeps the
+    selection parallel (an un-partitioned row_number funnels the whole
+    pool through one task)."""
+    return ranked.orderBy(F.asc("rank_score"), F.asc("doc_key")).limit(b).select("doc_key")
 
 
 def active_learning_rounds(
@@ -196,7 +203,11 @@ def active_learning_rounds(
             history.append({"round": rnd, "labeled": n_labeled, "pool": 0})
             break
         out = pipeline.predict(pool)
-        scored = out["assignments"]  # carries the model score column
+        # rank over the FULL scored candidate-pair table, not the accepted
+        # assignments: a doc whose every candidate falls below threshold is
+        # exactly the least-confident doc AL must label first, and it has
+        # no assignment rows at all
+        scored = out.get("scored_pairs", out["assignments"])
         ranked = (
             RANKERS[ranker](scored) if "score" in scored.columns else rank_random(pool, seed)
         )

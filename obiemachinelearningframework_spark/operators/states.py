@@ -78,6 +78,12 @@ def init_state_full_correct(pairs_with_scores: DataFrame, gold_triples: DataFram
     )
 
 
+_NODE_STRIDE = 4096  # id spacing between filler nodes: aux children get
+                     # parent*stride + pos + 1, so an aux class may carry up
+                     # to stride-1 child slots before ids collide (10 was too
+                     # tight: a 10-child aux node overwrote the next filler)
+
+
 def assignments_to_nodes(assignments: DataFrame, ontology) -> DataFrame:
     """Flattened slot assignments -> prediction node trees (evaluator input)."""
     wr = W.partitionBy("doc_key").orderBy("root_id")
@@ -107,7 +113,7 @@ def assignments_to_nodes(assignments: DataFrame, ontology) -> DataFrame:
     filler_nodes = a.select(
         "doc_key",
         "ann_id",
-        (F.col("_rn") * 10).alias("node_id"),
+        (F.col("_rn") * _NODE_STRIDE).alias("node_id"),
         F.lit(0).alias("parent_node_id"),
         "slot_name",
         "class_id",
@@ -130,8 +136,8 @@ def assignments_to_nodes(assignments: DataFrame, ontology) -> DataFrame:
             .select(
                 "doc_key",
                 "ann_id",
-                (F.col("_rn") * 10 + F.col("pos") + 1).alias("node_id"),
-                (F.col("_rn") * 10).alias("parent_node_id"),
+                (F.col("_rn") * _NODE_STRIDE + F.col("pos") + 1).alias("node_id"),
+                (F.col("_rn") * _NODE_STRIDE).alias("parent_node_id"),
                 F.col("child_slot").alias("slot_name"),
                 range_map[F.col("child_slot")].alias("class_id"),
                 F.lit(None).cast("string").alias("individual_id"),

@@ -111,8 +111,16 @@ def slot_filler_cluster_distance_features(assignments: DataFrame,
     first_tok = F.try_element_at(
         F.filter(F.split(F.lower("text"), r"\W+"), lambda t: F.length(t) >= 1), F.lit(1)
     )
+    # filler identity for pairing: obj_id when the assignments table carries
+    # it, else the full filler text — never the first token alone, so two
+    # distinct fillers sharing a first token ("Manchester United" /
+    # "Manchester City") still form a pair and a repeated token cannot
+    # double-count
+    fid = F.col("obj_id") if "obj_id" in assignments.columns else F.col("text")
     emb = (
-        assignments.select("doc_key", "root_id", "slot_name", first_tok.alias("token"))
+        assignments.select(
+            "doc_key", "root_id", "slot_name", fid.alias("_fid"), first_tok.alias("token")
+        )
         .join(
             F.broadcast(
                 clusters.select("token", vector_to_array("vector").alias("vec"))
@@ -126,7 +134,7 @@ def slot_filler_cluster_distance_features(assignments: DataFrame,
         (F.col("a.doc_key") == F.col("b.doc_key"))
         & (F.col("a.root_id") == F.col("b.root_id"))
         & (F.col("a.slot_name") == F.col("b.slot_name"))
-        & (F.col("a.token") < F.col("b.token")),
+        & (F.col("a._fid") < F.col("b._fid")),
     )
     # JVM-side cosine distance: zip_with dot products, no Python UDF
     dot = F.aggregate(

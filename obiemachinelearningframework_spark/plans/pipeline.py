@@ -198,12 +198,20 @@ class OBIEPipeline:
             # the CC loop below runs iterative actions — cache the fixpoint
             # input so the scoring chain is not recomputed per iteration
             triples = triples.cache()
-            comps = connected_components(canonicalization_edges(triples, alias_edges))
+            ent_ids = self.spark.createDataFrame(
+                self.ontology.individuals[["individual_id"]].rename(
+                    columns={"individual_id": "id"}
+                )
+            )
+            comps = connected_components(
+                canonicalization_edges(triples, alias_edges, entity_ids=ent_ids)
+            )
             triples = canonicalize_triples(triples, comps)
         return {
             "mentions": mentions,
             "roots": roots,
             "candidates": candidates,
+            "scored_pairs": pairs,
             "assignments": assignments,
             "triples": triples,
         }
