@@ -338,6 +338,49 @@ def _intra_bucket_pairs(a_name: str, b_name: str, both_directions: bool = False)
     )
 
 
+def _capped_member_docs(df, keys, member_col, cap, mode="drop", min_size=1):
+    """key -> sorted member array, with a hot-key guard that never
+    materializes an over-cap key's array: the previous form ran
+    ``collect_list`` FIRST and filtered on ``F.size`` after, so a
+    degenerate key (boilerplate shingle / LSH bucket) holding millions of
+    members built one unbounded in-memory array on a single executor
+    before the cap could drop it. Here the guard runs on ROWS — a window
+    count over the key (streamed / disk-spillable through the window sort)
+    prunes before any array exists, and ``collect_list`` only ever sees
+    <= cap rows per key. One exchange total: the window's hash
+    partitioning on ``keys`` satisfies the downstream groupBy's required
+    distribution, so the aggregate is co-partitioned (no second shuffle).
+
+    mode='drop'   — discard over-cap keys entirely (standard
+                    document-frequency pruning for dedup: a key that hot
+                    is boilerplate with no discriminative signal).
+    mode='sample' — keep a deterministic ``cap``-sized sample of the
+                    key's members (ordered by md5(member)), so similarity
+                    search still emits candidates from dense regions
+                    instead of silently going blind once every bucket
+                    exceeds the cap (the ANN recall cliff).
+    """
+    wn = W.partitionBy(*keys)
+    kn = F.count("*").over(wn)
+    if mode == "sample":
+        wo = wn.orderBy(F.md5(F.col(member_col).cast("string")))
+        pruned = (
+            df.withColumn("_kn", kn)
+            .withColumn("_rn", F.row_number().over(wo))
+            .filter((F.col("_rn") <= cap) & (F.col("_kn") >= min_size))
+            .drop("_kn", "_rn")
+        )
+    else:
+        pruned = (
+            df.withColumn("_kn", kn)
+            .filter((F.col("_kn") <= cap) & (F.col("_kn") >= min_size))
+            .drop("_kn")
+        )
+    return pruned.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(member_col)).alias("docs")
+    )
+
+
 MAX_BUCKET_DOCS = 50   # LSH hot-bucket cap: a band bucket holding > N docs
                        # is a degenerate collision (boilerplate shingle set);
                        # joining it costs O(N^2) pairs for near-zero yield —
@@ -363,17 +406,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # pair generation WITHOUT a bands self-join: one groupBy gathers each
-    # bucket's members (bounded by the hot-bucket cap, so the array and the
-    # <= cap^2/2 intra-bucket pairs it yields are tiny), array ops emit the
-    # ordered pairs JVM-side. vs the semi-join + self-join form this saves
-    # 3 shuffles of the bands table — the dominant exchange at corpus scale.
-    docs = F.array_sort(F.collect_list("doc_id"))
+    # pair generation WITHOUT a bands self-join: the capped gather prunes
+    # hot buckets as rows (window count) BEFORE collect_list, so no
+    # unbounded array ever materializes; array ops then emit the ordered
+    # intra-bucket pairs JVM-side (<= cap^2/2 per bucket).
     pair_structs = _intra_bucket_pairs("doc_a", "doc_b")
     return (
-        bands.groupBy("band", "bucket")
-        .agg(docs.alias("docs"))
-        .filter(F.size("docs") <= MAX_BUCKET_DOCS)
+        _capped_member_docs(bands, ["band", "bucket"], "doc_id", MAX_BUCKET_DOCS)
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -437,17 +476,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sharing a shingle are scored; shingles above SHINGLE_DF_CAP document
     frequency are pruned first (hot-key hardening)."""
     sh0 = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
-    # ONE aggregation by shingle yields both the document-frequency prune
-    # (size > cap -> drop) and the per-shingle doc list; intra-list pairs
-    # come from array ops (<= cap^2/2 per shingle), so the expensive
-    # token->shingle subtree is scanned once and never self-joined.
-    docs = F.array_sort(F.collect_list("doc_id"))
+    # the capped gather applies the document-frequency prune on ROWS
+    # (window count over shingle) before collect_list, so a boilerplate
+    # shingle never builds an unbounded array; intra-list pairs come from
+    # array ops (<= cap^2/2 per shingle), so the expensive token->shingle
+    # subtree is scanned once and never self-joined.
     pair_structs = _intra_bucket_pairs("doc_a", "doc_b")
-    g = (
-        sh0.groupBy("shingle")
-        .agg(docs.alias("docs"))
-        .filter(F.size("docs") <= SHINGLE_DF_CAP)
-    )
+    g = _capped_member_docs(sh0, ["shingle"], "doc_id", SHINGLE_DF_CAP)
     size = (
         g.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -1278,14 +1313,21 @@ def _ann_bucketed_cos(spark, sf_dir):
     bucket = emb0.select(
         "vec_id", F.explode(_ann_table_codes("vec")).alias("tb")
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    # per-(table, bucket) member gather (bounded by the cap) -> intra-bucket
-    # directed pairs via array ops; one groupBy instead of a self-join
-    docs = F.array_sort(F.collect_list("vec_id"))
+    # per-(table, bucket) member gather -> intra-bucket directed pairs via
+    # array ops; one groupBy instead of a self-join. Hot buckets are
+    # SAMPLED (deterministic md5-order cap), not dropped: dropping them
+    # meant that once the corpus grows past ~cap * 2^ANN_BITS vectors
+    # nearly every bucket trips the cap and the whole family silently
+    # emits near-zero candidates (recall cliff); a capped sample keeps
+    # dense regions represented at any corpus size. The cap is applied on
+    # ROWS (window row_number) before collect_list, so no unbounded array
+    # ever materializes on one executor.
     both_dirs = _intra_bucket_pairs("qid", "nid", both_directions=True)
     pairs = (
-        bucket.groupBy("t", "bucket")
-        .agg(docs.alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= ANN_BUCKET_CAP))
+        _capped_member_docs(
+            bucket, ["t", "bucket"], "vec_id", ANN_BUCKET_CAP,
+            mode="sample", min_size=2,
+        )
         .select(F.explode(both_dirs).alias("pr"))
         .select("pr.qid", "pr.nid")
         .distinct()
@@ -1380,13 +1422,18 @@ _ANN_BUCKETED_COS_SQL = f"""
     SELECT vec_id, CAST(floor(p / {ANN_BITS}) AS INT) AS t,
            CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % {ANN_BITS}) ELSE 0 END) AS BIGINT) AS bucket
     FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id, CAST(floor(p / {ANN_BITS}) AS INT)),
-  ok AS (SELECT t, bucket FROM bucket GROUP BY t, bucket
-         HAVING count(*) BETWEEN 2 AND {ANN_BUCKET_CAP}),
+  admitted AS (
+    SELECT vec_id, t, bucket FROM (
+      SELECT vec_id, t, bucket,
+             row_number() OVER (PARTITION BY t, bucket
+                                ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn,
+             count(*) OVER (PARTITION BY t, bucket) AS n
+      FROM bucket) w
+    WHERE rn <= {ANN_BUCKET_CAP} AND n >= 2),
   pairs AS (
     SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-    FROM bucket a
-    JOIN ok ON ok.t = a.t AND ok.bucket = a.bucket
-    JOIN bucket b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id <> b.vec_id),
+    FROM admitted a
+    JOIN admitted b ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id <> b.vec_id),
   norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
   dot AS (
     SELECT p.qid, p.nid, sum(a.v * b.v) AS dot

@@ -94,7 +94,13 @@ def _sessionize_fn(
         # event-time expiry: the open session closes when the WATERMARK
         # passes last_ts + gap. Data-driven, so a replay emits identical
         # rows; never blocks an availableNow drain on wall clock.
-        state.setTimeoutTimestamp(int((last + SESSION_GAP_S) * 1000))
+        # Clamp to just past the current watermark: a late-but-admitted
+        # event (within the watermark) can make last+gap fall BEHIND the
+        # watermark, which Spark rejects (IllegalArgumentException) and
+        # would kill the whole streaming query.
+        timeout_ms = int((last + SESSION_GAP_S) * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         # emit the open session's current shape (closed=False) so sinks can
         # show live sessions; the closed=True row supersedes it later
         out.append((user_id, start, last, n, False))

@@ -96,10 +96,19 @@ def main() -> None:
             # idempotent resume (north rule): the manifest is the atomic
             # commit point — a re-run after success (or a retry racing a
             # finished attempt) does no work and changes nothing, but the
-            # content invariant IS re-checked against the committed digest
-            committed = ck.stage_metrics("triples").get("content_digest")
+            # content invariant IS re-checked against the committed digest.
+            # The digest lives IN the manifest meta (committed in the same
+            # os.replace as the stage), so there is no crash window where a
+            # committed stage lacks its digest; a manifest without one is a
+            # foreign/corrupt checkpoint and resume must fail, not skip the
+            # integrity check.
+            committed = ck.manifest("triples").get("meta", {}).get("content_digest")
+            assert committed is not None, (
+                "committed triples manifest has no content_digest — refusing "
+                "to resume without source-integrity verification"
+            )
             live = corpus_digest()
-            assert committed is None or committed == live, (
+            assert committed == live, (
                 f"source content changed since the committed run "
                 f"(digest {live} != committed {committed})"
             )
@@ -125,7 +134,11 @@ def main() -> None:
     # would then mask the violation on every retry
     assert bad == 0, f"{bad} rows failed the content sha256 invariant"
     if ck is not None:
-        ck.write("triples", spark.read.parquet(args.output), meta={"mode": "extract"})
+        # the digest rides IN the manifest meta so it commits in the same
+        # os.replace as the stage — no crash window between "stage
+        # committed" and "digest recorded" for the resume path to hit
+        ck.write("triples", spark.read.parquet(args.output),
+                 meta={"mode": "extract", "content_digest": digest})
         ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad,
                                    "content_digest": digest})
 

@@ -67,8 +67,12 @@ def test_submit_train_then_extract(spark, tmp_path):
     # (repo, lang) partitioned layout on disk
     parts = glob.glob(f"{out}/repo=*/lang=*")
     assert parts, f"no partitioned output under {out}"
-    # lineage manifest + metrics committed
+    # lineage manifest + metrics committed; the content digest must ride IN
+    # the manifest (atomic with the stage commit) — the resume path refuses
+    # a committed manifest that lacks it
     assert os.path.exists(f"{ck}/triples/_MANIFEST.json")
+    man = json.load(open(f"{ck}/triples/_MANIFEST.json"))
+    assert man.get("meta", {}).get("content_digest"), man
     metrics = [json.loads(l) for l in open(f"{ck}/_metrics.jsonl")]
     assert any(m.get("n_triples", 0) > 0 for m in metrics)
 
