@@ -694,16 +694,45 @@ def expand_run_windows(runs, max_span: int) -> set:
     return out
 
 
+def run_windows_df(instances: DataFrame, ontology) -> DataFrame:
+    """Distinct <=MAX_SPAN_TOKENS-token windows of every capitalized run in
+    the corpus, expanded ENTIRELY JVM-side (higher-order array functions
+    over the split run) — the distributed twin of ``expand_run_windows``.
+    The corpus-sized scan never leaves the executors; only the
+    vocabulary-sized distinct window set flows downstream."""
+    from .mentions import MAX_SPAN_TOKENS
+
+    parts = F.split("text", " ")
+    expand = F.expr(
+        f"""flatten(transform(sequence(1, least(size(p), {MAX_SPAN_TOKENS})),
+              w -> transform(sequence(1, size(p) - w + 1),
+                   i -> array_join(slice(p, i, w), ' '))))"""
+    )
+    return (
+        capitalized_vocabulary(instances, ontology)
+        .select(parts.alias("p"))
+        .select(F.explode(expand).alias("text"))
+        .distinct()
+    )
+
+
 def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
                   thresholds: dict, min_ner_length: int = 2,
                   kb_triples=None, link_map_df: DataFrame | None = None,
-                  fuzzy_linking: bool = True) -> DataFrame:
+                  fuzzy_linking: bool = True,
+                  carry_cols: tuple = ()) -> DataFrame:
     """instances(doc_key, content) -> triples(doc_key, subj, pred, obj).
 
     Map-only plan: a tiny link-map job (vocabulary-sized), then one
     mapInPandas stage over the corpus. Zero corpus-sized shuffles — this is
     the 10^12-file hot path (scan partitioned by (repo, lang); the model
-    and link map broadcast)."""
+    and link map broadcast).
+
+    ``carry_cols``: instance columns (e.g. ``("repo", "lang")``) replicated
+    onto every emitted triple inside the SAME map stage — the partitioned
+    sink then needs no join back to the corpus at all (the round-2 write
+    path broadcast one row per document; at 10^12 docs that OOMs every
+    executor)."""
     from ..operators.trainer import THRESHOLD_PREFIX
 
     spark = instances.sparkSession
@@ -713,23 +742,23 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         link_rows = link_map_df.select("token", "type_id", "class_id").collect()
         link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
     else:
-        # distinct-run scan stays distributed (corpus-bound); window
-        # expansion is cheap driver string work; SCORING the windows
-        # against the dictionary runs as the distributed similarity join
+        # run scan AND window expansion stay distributed (corpus-bound);
+        # SCORING runs as the distributed similarity join
         # (linking.build_link_map) once the vocabulary is non-trivial —
         # driver-side python scoring is a serial fixed cost that erodes
         # scaling efficiency at high parallelism. py_link_map (asserted
-        # equal in tests) remains the micro-vocabulary fast path.
-        from .mentions import MAX_SPAN_TOKENS
-
-        runs = [r["text"] for r in capitalized_vocabulary(instances, ontology).collect()]
-        windows = expand_run_windows(runs, MAX_SPAN_TOKENS)
-        if len(windows) <= LINK_MAP_DRIVER_MAX:
-            link_map = py_link_map(windows, ontology)
+        # equal in tests) remains the micro-vocabulary fast path, gated by
+        # a hard-bounded take(MAX+1) — NO collect in this function scales
+        # with the corpus vocabulary; the only unbounded collect below is
+        # the LINKED map, which the similarity threshold bounds by the
+        # dictionary size.
+        win_df = run_windows_df(instances, ontology).localCheckpoint(eager=True)
+        head = win_df.take(LINK_MAP_DRIVER_MAX + 1)
+        if len(head) <= LINK_MAP_DRIVER_MAX:
+            link_map = py_link_map([r["text"] for r in head], ontology)
         else:
             from .linking import build_link_map
 
-            win_df = spark.createDataFrame([(w,) for w in sorted(windows)], ["text"])
             link_rows = build_link_map(win_df, ontology, spark).collect()
             link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
 
@@ -755,19 +784,24 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         }
     )
 
+    carry = list(carry_cols)
+    out_cols = ["doc_key", "subj", "pred", "obj", *carry]
+    schema = T.StructType(TRIPLE_SCHEMA.fields + [instances.schema[c] for c in carry])
+
     def run(batches):
         v = bc.value
         compiled = compile_patterns(v["patterns"])
         for pdf in batches:
             recs = []
-            for doc_key, content in zip(pdf["doc_key"], pdf["content"]):
-                recs.extend(
-                    extract_document(
-                        doc_key, content, compiled, v["link_map"], v["spec"],
-                        v["weights"], v["thresholds"], v["min_len"], v["kb"],
-                        v["kb_stats"],
-                    )
-                )
-            yield pd.DataFrame(recs, columns=["doc_key", "subj", "pred", "obj"])
+            carried = [pdf[c] for c in carry]
+            for i, (doc_key, content) in enumerate(zip(pdf["doc_key"], pdf["content"])):
+                extra = tuple(col.iloc[i] for col in carried)
+                for t in extract_document(
+                    doc_key, content, compiled, v["link_map"], v["spec"],
+                    v["weights"], v["thresholds"], v["min_len"], v["kb"],
+                    v["kb_stats"],
+                ):
+                    recs.append(t + extra)
+            yield pd.DataFrame(recs, columns=out_cols)
 
-    return instances.select("doc_key", "content").mapInPandas(run, schema=TRIPLE_SCHEMA)
+    return instances.select("doc_key", "content", *carry).mapInPandas(run, schema=schema)

@@ -216,20 +216,23 @@ class OBIEPipeline:
             "triples": triples,
         }
 
-    def predict_fused(self, instances: DataFrame, kb_triples: DataFrame | None = None) -> DataFrame:
+    def predict_fused(self, instances: DataFrame, kb_triples: DataFrame | None = None,
+                      carry_cols: tuple = ()) -> DataFrame:
         """Map-only hot path: the whole per-document inference fused into
         one mapInPandas stage with the model broadcast
         (``operators/fused.py``). Emits triples only; asserted equal to
         ``predict()['triples']`` in tests/test_fused_parity.py. This is the
         plan shape the 10^12-file job runs: a scan-shaped job with no
-        corpus-sized shuffle, so throughput scales with executors."""
+        corpus-sized shuffle, so throughput scales with executors.
+        ``carry_cols`` (e.g. ``("repo", "lang")``) ride through the kernel
+        onto every triple so the partitioned sink needs no corpus join."""
         assert self.weights is not None, "fit() or load_weights() first"
         from ..operators.fused import extract_fused
 
         return extract_fused(
             instances, self.ontology, self.weights, self.thresholds,
             min_ner_length=self.min_ner_length, kb_triples=kb_triples,
-            fuzzy_linking=self.fuzzy_linking,
+            fuzzy_linking=self.fuzzy_linking, carry_cols=carry_cols,
         )
 
     # ----------------------------------------------------------- model (de)ser

@@ -117,8 +117,11 @@ def main() -> None:
             return
     pipe.load_weights(args.weights)
     inst = inst.cache()
-    triples = pipe.predict_fused(inst)
-    write_triples(triples, inst, args.output)
+    # (repo, lang) ride through the fused kernel onto every triple, so the
+    # partitioned+salted sink is a pure map->shuffle-on-write — no join (and
+    # especially no broadcast) against the corpus-sized instance table
+    triples = pipe.predict_fused(inst, carry_cols=("repo", "lang"))
+    write_triples(triples, args.output)
 
     # per-row invariant vs the source table (BASELINE.json): if the source
     # stores a sha256 column, every row must match the recomputed hash; the
