@@ -105,6 +105,70 @@ def build_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame) -
     )
 
 
+def ds_token_context(mentions: DataFrame, instances: DataFrame) -> DataFrame:
+    """TokenContextTemplate distant-supervision mode (templates/
+    TokenContextTemplate.java:157-232): context features are emitted at the
+    positions of ALL NERL mentions of the assigned class (keyed by the
+    class) and of the assigned individual (keyed by the individual), not
+    just at the candidate's own span — every mention of "FC Nodrix"
+    elsewhere in the document votes for candidates assigned team_nodrix.
+
+    Returns the per-(doc, key) DISTINCT feature-name arrays
+    ``(doc_key, ds_key, ds_feats)`` with ds_key in
+    {``cls:<class_id>``, ``ind:<individual_id>``}; ``compute_features``
+    joins them onto pairs by (doc_key, key) — mention-sized aggregation,
+    doc_key-prefixed grouping keys, no corpus-sized shuffle. Mirrored
+    per-document in the fused kernel (``fused._ds_context_maps``), parity
+    pinned by tests/test_feature_parity_full.py."""
+    m = mentions.join(instances.select("doc_key", "content"), "doc_key")
+    m = (
+        m.withColumn(
+            "_l_raw",
+            F.expr(f"substring(content, greatest(1, onset - {CTX_CHARS} + 1), least(onset, {CTX_CHARS}))"),
+        )
+        .withColumn("_r_raw", F.expr(f"substring(content, offset + 1, {CTX_CHARS})"))
+        .drop("content")
+    )
+    lt = F.reverse(F.filter(F.split(F.lower("_l_raw"), r"\W+"), lambda t: F.length(t) >= 1))
+    rt = F.filter(F.split(F.lower("_r_raw"), r"\W+"), lambda t: F.length(t) >= 1)
+    m = m.withColumn("_lt", lt).withColumn("_rt", rt)
+
+    def tok(arr, i):
+        return F.try_element_at(F.col(arr), F.lit(i))
+
+    def ok(arr, i):
+        return tok(arr, i).isNotNull() & (tok(arr, i) != "")
+
+    shapes = F.array_compact(F.array(
+        *[F.when(ok(a, i), F.concat(F.lit(f"{nm}:"), tok(a, i)))
+          for nm, a, i in (("l1", "_lt", 1), ("l2", "_lt", 2), ("l3", "_lt", 3),
+                           ("r1", "_rt", 1), ("r2", "_rt", 2), ("r3", "_rt", 3))],
+        *[F.when(ok(a1, i1) & ok(a2, i2),
+                 F.concat(F.lit(f"{nm}:"), tok(a1, i1), F.lit(" "), tok(a2, i2)))
+          for nm, a1, i1, a2, i2 in (("l2l1", "_lt", 2, "_lt", 1),
+                                     ("r1r2", "_rt", 1, "_rt", 2),
+                                     ("l1r1", "_lt", 1, "_rt", 1))],
+    ))
+    base = m.select(
+        "doc_key", "class_id", "individual_id", F.explode(shapes).alias("_shape")
+    )
+    # class key: every mention of the class (the reference adds individual-
+    # annotation positions under the class key too, :169-187); individual
+    # key: mentions of that individual only
+    rows = base.filter(F.col("class_id").isNotNull()).select(
+        "doc_key", F.concat(F.lit("cls:"), "class_id").alias("ds_key"), "_shape"
+    ).unionByName(
+        base.filter(F.col("individual_id").isNotNull()).select(
+            "doc_key", F.concat(F.lit("ind:"), "individual_id").alias("ds_key"), "_shape"
+        )
+    )
+    return rows.groupBy("doc_key", "ds_key").agg(
+        F.collect_set(
+            F.concat(F.lit("ctxds["), F.col("ds_key"), F.lit("]="), F.col("_shape"))
+        ).alias("ds_feats")
+    )
+
+
 def kb_datatype_stats(kb_triples) -> dict:
     """Per-predicate (median, dev) over the KB's numeric object values —
     ``KnowledgeBaseTemplate.getMeanDevPair`` (templates/KnowledgeBase
@@ -143,7 +207,8 @@ def _fs_if(cond, feature_col, value_col=None):
     return F.when(cond, _fs(feature_col, value_col))
 
 
-def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | None = None) -> DataFrame:
+def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | None = None,
+                     ds_context: DataFrame | None = None) -> DataFrame:
     """pairs -> long-format (pair_id, feature, value). ``ontology`` adds the
     hierarchy-depth family (broadcast class->depth map); ``kb_triples`` adds
     the KnowledgeBaseTemplate family (does (root, slot, filler) exist in a
@@ -246,6 +311,24 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         F.length("text"), F.length("class_id")
     )
     is_cls = F.col("slot_kind") == "cls"
+    # StringSimilarityTemplate's SECOND factor: similarity vs the assigned
+    # INDIVIDUAL's name, feature keyed by the individual
+    # (templates/StringSimilarityTemplate.java:109-111 adds a scope per
+    # scioClass.getIndividual().name). Same-span fuzzy link alternatives
+    # share every context feature — this (with frequency/KB) is the
+    # scorer's disambiguation signal between them.
+    ind_labels = (
+        dict(zip(ontology.individuals.individual_id,
+                 ontology.individuals.label.str.lower()))
+        if ontology is not None and len(ontology.individuals) else {}
+    )
+    if ind_labels:
+        label_map = F.create_map(*[F.lit(x) for kv in ind_labels.items() for x in kv])
+        ind_label = F.element_at(label_map, F.col("individual_id"))
+        sim_ind = 1.0 - F.levenshtein(F.lower("text"), ind_label) / F.greatest(
+            F.length("text"), F.length(ind_label)
+        )
+        has_ind = F.col("individual_id").isNotNull() & ind_label.isNotNull()
 
     scalar = [
         _fs(F.concat(F.lit("bias["), slot, F.lit("]"))),
@@ -298,6 +381,13 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         *[
             _fs_if(is_cls & (sim >= b), F.concat(F.lit(f"strsim>={b}["), slot, F.lit("]")))
             for b in (0.5, 0.7, 0.9)
+        ],
+        # ... and the individual-name factor (keyed by the individual, as
+        # the reference keys the feature by the name)
+        *[
+            _fs_if(has_ind & (sim_ind >= b),
+                   F.concat(F.lit(f"simind>={b}["), slot, F.lit("]="), F.col("individual_id")))
+            for b in ((0.5, 0.7, 0.9) if ind_labels else ())
         ],
         # CooccurrenceTemplate value1+property+value2
         _fs(F.concat(F.lit("cooc["), F.col("root_class_id"), F.lit("+"), slot, F.lit("]="),
@@ -356,18 +446,43 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
 
     # KnowledgeBaseTemplate: membership of the proposed assignment in a
     # prior KB — broadcast left-semi-style flag join (the KB side is the
-    # distilled triple table, small relative to the pair table)
+    # distilled triple table, small relative to the pair table).
+    # TrainAsKnowledgeBaseTemplate (templates/TrainAsKnowledgeBase
+    # Template.java docs :1-12): when the KB view carries a doc_key column
+    # (the fit-time view of the TRAINING GOLD), membership is masked
+    # leave-one-doc-out — a (pred, obj) seen ONLY in this document's own
+    # gold does not fire, so a document cannot see its own answer key.
     if kb_triples is not None:
-        kb = (
-            kb_triples.select(
-                F.col("pred").alias("slot_name"),
-                F.col("obj").alias("obj_id"),
-                F.lit(1).alias("_in_kb"),
-            ).dropDuplicates()
-        )
-        p = p.join(F.broadcast(kb), ["slot_name", "obj_id"], "left")
+        if "doc_key" in kb_triples.columns:
+            kb = (
+                kb_triples.select(
+                    F.col("doc_key").alias("_kb_doc"),
+                    F.col("pred").alias("slot_name"),
+                    F.col("obj").alias("obj_id"),
+                )
+                .dropDuplicates()
+                .groupBy("slot_name", "obj_id")
+                .agg(
+                    F.countDistinct("_kb_doc").alias("_kb_n"),
+                    F.min("_kb_doc").alias("_kb_only"),
+                )
+            )
+            p = p.join(F.broadcast(kb), ["slot_name", "obj_id"], "left")
+            in_kb = F.col("_kb_n").isNotNull() & (
+                (F.col("_kb_n") > 1) | (F.col("_kb_only") != F.col("doc_key"))
+            )
+        else:
+            kb = (
+                kb_triples.select(
+                    F.col("pred").alias("slot_name"),
+                    F.col("obj").alias("obj_id"),
+                    F.lit(1).alias("_in_kb"),
+                ).dropDuplicates()
+            )
+            p = p.join(F.broadcast(kb), ["slot_name", "obj_id"], "left")
+            in_kb = F.col("_in_kb").isNotNull()
         scalar.append(
-            _fs_if(F.col("_in_kb").isNotNull(), F.concat(F.lit("kb["), slot, F.lit("]")))
+            _fs_if(in_kb, F.concat(F.lit("kb["), slot, F.lit("]")))
         )
         # datatype mean/stddev stats (KnowledgeBaseTemplate.java:600-669):
         # decade-binned distance to the KB median, plus the nearest
@@ -430,13 +545,32 @@ def compute_features(pairs: DataFrame, ontology=None, kb_triples: DataFrame | No
         F.coalesce(_tok_feats(F.col("_bow2"), "bow2"), empty),
         _tok_feats(F.col("_c3"), "c3g"),
     )
-    return (
+    out = (
         p.select("doc_key", "pair_id", F.explode(all_feats).alias("f"))
         .select(
             "doc_key", "pair_id",
             F.col("f.feature").alias("feature"), F.col("f.value").alias("value"),
         )
     )
+    if ds_context is not None:
+        # distant-supervision TokenContext rows: join the per-(doc, key)
+        # distinct context-feature arrays onto the pairs by class and by
+        # individual key. Both joins are doc_key-prefixed (co-partitioned
+        # under the doc_key clustering) and the ds side is mention-sized.
+        keyed = pairs.select("doc_key", "pair_id", "class_id", "individual_id")
+        for kind_col, prefix in (("class_id", "cls:"), ("individual_id", "ind:")):
+            side = keyed.filter(F.col(kind_col).isNotNull()).withColumn(
+                "ds_key", F.concat(F.lit(prefix), F.col(kind_col))
+            )
+            out = out.unionByName(
+                side.join(ds_context, ["doc_key", "ds_key"])
+                .select(
+                    "doc_key", "pair_id",
+                    F.explode("ds_feats").alias("feature"),
+                    F.lit(1.0).alias("value"),
+                )
+            )
+    return out
 
 
 def score_pairs(features: DataFrame, weights: DataFrame) -> DataFrame:

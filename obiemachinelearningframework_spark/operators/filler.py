@@ -29,7 +29,9 @@ ASSIGNMENT_COLS = [
 
 def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
                  weights_df: DataFrame, ontology=None, kb_triples: DataFrame | None = None,
-                 cache_registry: list | None = None) -> DataFrame:
+                 cache_registry: list | None = None,
+                 hashed_dim: int | None = None,
+                 ds_context=None) -> DataFrame:
     # pairs feeds both the feature pass and the final join-back: cache so
     # the window-heavy build_pairs subtree is evaluated once. The handle is
     # recorded in cache_registry (when given) so the CALLER can unpersist
@@ -38,7 +40,14 @@ def scored_pairs(roots: DataFrame, candidates: DataFrame, instances: DataFrame,
     pairs = build_pairs(roots, candidates, instances).cache()
     if cache_registry is not None:
         cache_registry.append(pairs)
-    feats = compute_features(pairs, ontology, kb_triples=kb_triples)
+    feats = compute_features(pairs, ontology, kb_triples=kb_triples, ds_context=ds_context)
+    if hashed_dim:
+        # feature-hashed model: map names into the bucket space the model
+        # was trained in (same one-line transform as at fit time), then the
+        # identical broadcast-join scorer
+        from .trainer import hash_feature_names
+
+        feats = hash_feature_names(feats, hashed_dim)
     scores = score_pairs(feats, weights_df)
     # join back on (doc_key, pair_id): both sides carry the doc_key
     # clustering, so this is a co-partitioned join — no exchange

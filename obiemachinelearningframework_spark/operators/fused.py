@@ -137,26 +137,38 @@ def ontology_spec(ontology, no_evidence_classes: frozenset = frozenset(),
         anchor_classes = set(ontology.subclasses_of(srow.range_class_id))
         anchored = False
 
+    from .mentions import dictionary_token_set
+
     return {
         "root_cls": root_cls,
         "anchored": anchored,
         "anchor_classes": anchor_classes,
         "slots": slot_specs,
         "class_depth": {c: int(d) for c, d in ontology.class_depth.items()},
+        # first/last-token span gate for unknown-span enumeration
+        # (EntityRecognitionExplorer.java:150-161)
+        "dict_tokens": dictionary_token_set(ontology),
+        # individual -> lowercased name, for the individual-name similarity
+        # factor (StringSimilarityTemplate.java:109-111)
+        "ind_labels": dict(
+            zip(ontology.individuals.individual_id, ontology.individuals.label.str.lower())
+        ),
     }
 
 
 # ------------------------------------------------------------------ stages
 
 
-def _doc_mentions(content, compiled, min_len, link_map):
+def _doc_mentions(content, compiled, min_len, link_map, dict_tokens=None):
     """Mentions incl. fuzzy-linked unknown tokens, deduped on
-    (kind, type_id, onset, offset) — detect_mentions + apply_link_map."""
-    rows, unknowns = match_document(content, compiled, min_len, want_unknown=True)
+    (kind, type_id, onset, offset) — detect_mentions + apply_link_map.
+    ``link_map`` values are ORDERED candidate lists (ranks 1..top_k): every
+    retrieved alternative becomes a mention, the scorer disambiguates
+    (LuceneRetrieval.java:39-40)."""
+    rows, unknowns = match_document(content, compiled, min_len, want_unknown=True,
+                                    dict_tokens=dict_tokens)
     for text, on, off, sent in unknowns:
-        link = link_map.get(text.lower())
-        if link is not None:
-            type_id, class_id = link
+        for type_id, class_id in link_map.get(text.lower(), ()):
             rows.append(
                 ("individual", type_id, class_id, type_id, False, text, on, off, sent, None, "fuzzy")
             )
@@ -349,10 +361,53 @@ def _toks(s, min_chars):
     return [t for t in _NONWORD.split(s.lower()) if len(t) >= min_chars]
 
 
-def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
+def _ds_context_maps(mentions, content):
+    """Per-document mirror of features.ds_token_context (TokenContext
+    distant-supervision mode, TokenContextTemplate.java:157-232): distinct
+    context shapes around every mention, keyed by class and by individual.
+    Returns (cls_map, ind_map): id -> set of "shape:tokens" strings."""
+    cls_map, ind_map = {}, {}
+    for x in mentions:
+        onset, offset = x["onset"], x["offset"]
+        left_raw = content[max(0, onset - CTX_CHARS) : max(onset, 0)]
+        right_raw = content[max(offset, 0) : max(offset, 0) + CTX_CHARS]
+        lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
+        rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
+        shapes = []
+        for nm, arr, idx in (
+            ("l1", lt, 0), ("l2", lt, 1), ("l3", lt, 2),
+            ("r1", rt, 0), ("r2", rt, 1), ("r3", rt, 2),
+        ):
+            if idx < len(arr) and arr[idx]:
+                shapes.append(f"{nm}:{arr[idx]}")
+        for nm, a1, i1, a2, i2 in (
+            ("l2l1", lt, 1, lt, 0), ("r1r2", rt, 0, rt, 1), ("l1r1", lt, 0, rt, 0),
+        ):
+            if i1 < len(a1) and a1[i1] and i2 < len(a2) and a2[i2]:
+                shapes.append(f"{nm}:{a1[i1]} {a2[i2]}")
+        if not shapes:
+            continue
+        if x["class_id"] is not None:
+            cls_map.setdefault(x["class_id"], set()).update(shapes)
+        if x["individual_id"] is not None:
+            ind_map.setdefault(x["individual_id"], set()).update(shapes)
+    return cls_map, ind_map
+
+
+def _pair_features(r, c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
     """The fused feature projection of features.py:compute_features for one
     (root, candidate) pair; yields (feature, value)."""
     slot = c["slot_name"]
+    if ds_maps is not None:
+        # TokenContext DS mode (mirrors the ds_context join in
+        # compute_features): the distinct per-(doc, key) shape sets
+        cls_map, ind_map = ds_maps
+        if c["class_id"] is not None:
+            for s in cls_map.get(c["class_id"], ()):
+                yield f"ctxds[cls:{c['class_id']}]={s}", 1.0
+        if c["individual_id"] is not None:
+            for s in ind_map.get(c["individual_id"], ()):
+                yield f"ctxds[ind:{c['individual_id']}]={s}", 1.0
     onset, offset = c["onset"], c["offset"]
     yield f"bias[{slot}]", 1.0
     sent_dist = c["sent_idx"] - r["sent_idx"]
@@ -436,6 +491,15 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None):
         for bnd in (0.5, 0.7, 0.9):
             if sim >= bnd:
                 yield f"strsim>={bnd}[{slot}]", 1.0
+    # ... and the individual-name factor (StringSimilarityTemplate.java:
+    # 109-111) — disambiguates same-span fuzzy link alternatives
+    ind_label = spec["ind_labels"].get(c["individual_id"]) if c["individual_id"] else None
+    if ind_label:
+        text = c["text"]
+        sim_i = 1.0 - _levenshtein(text.lower(), ind_label) / max(len(text), len(ind_label))
+        for bnd in (0.5, 0.7, 0.9):
+            if sim_i >= bnd:
+                yield f"simind>={bnd}[{slot}]={c['individual_id']}", 1.0
     yield f"cooc[{r['root_class_id']}+{slot}]={cls}", 1.0
     yield f"n_roots[{slot}]={min(stats['n_roots'], 6)}", 1.0
     het = "eq1" if stats["n_pairing"][(slot, c["obj_id"])] == 1 else "ne1"
@@ -534,7 +598,8 @@ def _doc_stats(roots, cands):
     }
 
 
-def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats=None):
+def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats=None,
+              ds_maps=None):
     """Score every pair, then greedy_fill per (root, slot): best occurrence
     per distinct obj, rank distinct objs, accept top-card above threshold
     (filler.py:40-66). Returns accepted assignment dicts."""
@@ -544,7 +609,7 @@ def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_st
         per_slot = {}
         for c in cands:
             score = 0.0
-            for f, v in _pair_features(r, c, content, stats, spec, kb, kb_stats):
+            for f, v in _pair_features(r, c, content, stats, spec, kb, kb_stats, ds_maps):
                 w = weights.get(f)
                 if w is not None:
                     score += w * v
@@ -584,10 +649,35 @@ def _doc_triples(doc_key, accepted):
     return out
 
 
+class HashedWeights:
+    """Executor-side mirror of trainer.hash_feature_names for a
+    feature-hashed model: ``get(name)`` returns sign(name) * w[bucket(name)]
+    so ``_doc_fill``'s ``weights.get(f) * v`` computes exactly the margin
+    the hashed trainer fitted. zlib.crc32 == Spark F.crc32 over UTF-8
+    bytes (same CRC-32/ISO-HDLC polynomial); agreement is pinned
+    cross-runtime by tests/test_trainer_hashed.py."""
+
+    __slots__ = ("w", "dim")
+
+    def __init__(self, w: dict, dim: int):
+        self.w = w
+        self.dim = dim
+
+    def get(self, name, default=None):
+        from zlib import crc32
+
+        b = name.encode("utf-8")
+        wv = self.w.get(f"__HASHED__{crc32(b) % self.dim}")
+        if wv is None:
+            return default
+        return wv if crc32(b + b"#") % 2 == 1 else -wv
+
+
 def extract_document(doc_key, content, compiled, link_map, spec, weights, thresholds,
-                     min_len=2, kb=None, kb_stats=None):
+                     min_len=2, kb=None, kb_stats=None, ds_mode=False):
     """content -> [(doc_key, subj, pred, obj)] — the full fused inference."""
-    mentions = _doc_mentions(content, compiled, min_len, link_map)
+    mentions = _doc_mentions(content, compiled, min_len, link_map,
+                             dict_tokens=spec.get("dict_tokens"))
     roots = _doc_roots(mentions, spec, doc_key)
     if not roots:
         return []
@@ -595,7 +685,13 @@ def extract_document(doc_key, content, compiled, link_map, spec, weights, thresh
     if not cands:
         return []
     stats = _doc_stats(roots, cands)
-    accepted = _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats)
+    ds_maps = _ds_context_maps(mentions, content) if ds_mode else None
+    if isinstance(kb, dict):
+        # leave-one-doc-out mask: a (pred, obj) whose only source doc is
+        # THIS doc is invisible here (compute_features' masked join)
+        kb = {k for k, (n, only) in kb.items() if n > 1 or only != doc_key}
+    accepted = _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_stats,
+                         ds_maps)
     return _doc_triples(doc_key, accepted)
 
 
@@ -614,10 +710,15 @@ def py_link_map(tokens, ontology, top_k=None) -> dict:
     vocabulary-sized, so scoring them on the driver replaces a ~6-stage
     similarity-join mini-job with microseconds of work. Asserted equal to
     the relational path by tests/test_fused_parity.py on the disease
-    domain (which contains unseen typos). Thresholds and tie-breaks match
-    linking.py:30-32,77-85 exactly."""
-    from .linking import MIN_JACCARD, MIN_LEV_SIM
+    domain (which contains unseen typos). Thresholds, tie-breaks and the
+    top-k retrieval match linking.py:30-35,86-99 exactly: the value is the
+    ORDERED list of up to top_k (type_id, class_id) alternatives — the
+    reference feeds every retrieved candidate into exploration
+    (LuceneRetrieval.java:39-40)."""
+    from .linking import MIN_JACCARD, MIN_LEV_SIM, TOP_K
 
+    if top_k is None:
+        top_k = TOP_K
     d = ontology.dictionary
     surfaces = [
         (str(t), str(s).lower())
@@ -634,7 +735,7 @@ def py_link_map(tokens, ontology, top_k=None) -> dict:
         tg = _grams3(tok)
         if not tg:
             continue
-        best = None
+        scored = []
         for tid, surf, sg, sn in dict_side:
             common = len(tg & sg)
             if common == 0:
@@ -643,75 +744,50 @@ def py_link_map(tokens, ontology, top_k=None) -> dict:
             lev_sim = 1.0 - _levenshtein(tok, surf) / max(len(tok), len(surf))
             if jac < MIN_JACCARD or lev_sim < MIN_LEV_SIM:
                 continue
-            key = (-lev_sim, -jac, tid)
-            if best is None or key < best[0]:
-                best = (key, tid)
-        if best is not None:
-            tid = best[1]
-            if tid not in ind_class:
-                # mirror the relational path's INNER join against the
-                # individuals table (linking.build_link_map): a dictionary
-                # surface whose type has no individual row yields no link
-                continue
-            out[tok] = (tid, ind_class[tid])
+            scored.append(((-lev_sim, -jac, tid), tid))
+        scored.sort()
+        links = []
+        for _, tid in scored[:top_k]:
+            # mirror the relational path's INNER join against the
+            # individuals table (linking.build_link_map): a dictionary
+            # surface whose type has no individual row yields no link
+            if tid in ind_class:
+                links.append((tid, ind_class[tid]))
+        if links:
+            out[tok] = links
     return out
 
 
-def capitalized_vocabulary(instances: DataFrame, ontology) -> DataFrame:
-    """Distinct capitalized-token RUNS (each token len >= 4, joined by
-    single spaces) in the corpus minus exact dictionary surfaces — a
-    JVM-side over-approximation of the unknown surface forms. The caller
-    expands each run into its sub-token windows (mirroring the kernel's
-    span enumeration). Over-approximation is sound: the kernel applies the
-    link map only to spans its own coverage check marks unknown, and
-    build_link_map is per-surface independent, so restricting a larger map
-    agrees with the map built from the exact unknown set."""
-    toks = (
-        instances.select(
-            F.explode(
-                F.expr(r"regexp_extract_all(content, '\\b[A-Z][a-z]{3,}(?: [A-Z][a-z]{3,})*\\b', 0)")
-            ).alias("text")
-        ).distinct()
-    )
-    spark = instances.sparkSession
-    surfaces = spark.createDataFrame(
-        ontology.dictionary[["surface_form"]].drop_duplicates()
-    ).select(F.lower("surface_form").alias("lsf"))
-    return toks.join(
-        F.broadcast(surfaces), F.lower(F.col("text")) == F.col("lsf"), "left_anti"
-    )
+UNKNOWN_TEXT_SCHEMA = T.StructType([T.StructField("text", T.StringType())])
 
 
-def expand_run_windows(runs, max_span: int) -> set:
-    """All <=max_span-token windows of each space-joined capitalized run —
-    the driver-side mirror of the kernel's span enumeration."""
-    out = set()
-    for run in runs:
-        parts = run.split(" ")
-        for width in range(min(len(parts), max_span), 0, -1):
-            for i in range(len(parts) - width + 1):
-                out.add(" ".join(parts[i : i + width]))
-    return out
+def unknown_vocabulary_df(instances: DataFrame, ontology) -> DataFrame:
+    """Distinct unknown-span surfaces across the corpus — the fused link
+    map's input. Runs the SAME span enumeration as the extraction kernel
+    (``match_document`` with an empty pattern battery: both gates, no
+    coverage filter — a sound over-approximation, since restricting a
+    larger per-surface-independent map equals the map of the exact set).
+    Arrow-batched and per-partition deduped; only the vocabulary-sized
+    distinct surface set flows downstream. Python is unavoidable here: the
+    dictionary-token gate needs token OFFSETS to cut exact content
+    substrings, which regexp_extract_all cannot produce."""
+    from .mentions import dictionary_token_set
 
+    dict_toks = dictionary_token_set(ontology)
+    bc = instances.sparkSession.sparkContext.broadcast(dict_toks)
 
-def run_windows_df(instances: DataFrame, ontology) -> DataFrame:
-    """Distinct <=MAX_SPAN_TOKENS-token windows of every capitalized run in
-    the corpus, expanded ENTIRELY JVM-side (higher-order array functions
-    over the split run) — the distributed twin of ``expand_run_windows``.
-    The corpus-sized scan never leaves the executors; only the
-    vocabulary-sized distinct window set flows downstream."""
-    from .mentions import MAX_SPAN_TOKENS
+    def scan(batches):
+        dtoks = bc.value
+        for pdf in batches:
+            out = set()
+            for content in pdf["content"]:
+                _, unknowns = match_document(content, (), 2, True, dtoks)
+                out.update(u[0] for u in unknowns)
+            yield pd.DataFrame({"text": sorted(out)})
 
-    parts = F.split("text", " ")
-    expand = F.expr(
-        f"""flatten(transform(sequence(1, least(size(p), {MAX_SPAN_TOKENS})),
-              w -> transform(sequence(1, size(p) - w + 1),
-                   i -> array_join(slice(p, i, w), ' '))))"""
-    )
     return (
-        capitalized_vocabulary(instances, ontology)
-        .select(parts.alias("p"))
-        .select(F.explode(expand).alias("text"))
+        instances.select("content")
+        .mapInPandas(scan, schema=UNKNOWN_TEXT_SCHEMA)
         .distinct()
     )
 
@@ -720,7 +796,7 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
                   thresholds: dict, min_ner_length: int = 2,
                   kb_triples=None, link_map_df: DataFrame | None = None,
                   fuzzy_linking: bool = True,
-                  carry_cols: tuple = ()) -> DataFrame:
+                  carry_cols: tuple = (), ds_mode: bool = False) -> DataFrame:
     """instances(doc_key, content) -> triples(doc_key, subj, pred, obj).
 
     Map-only plan: a tiny link-map job (vocabulary-sized), then one
@@ -736,13 +812,23 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
     from ..operators.trainer import THRESHOLD_PREFIX
 
     spark = instances.sparkSession
+
+    def rows_to_map(rows) -> dict:
+        """(token, type_id, class_id, rank) rows -> token -> ordered
+        alternative list, the kernel's lookup shape."""
+        m: dict = {}
+        for r in sorted(rows, key=lambda r: (r["token"], r["rank"])):
+            m.setdefault(r["token"], []).append((r["type_id"], r["class_id"]))
+        return m
+
     if not fuzzy_linking:
         link_map = {}
     elif link_map_df is not None:
-        link_rows = link_map_df.select("token", "type_id", "class_id").collect()
-        link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
+        link_map = rows_to_map(
+            link_map_df.select("token", "type_id", "class_id", "rank").collect()
+        )
     else:
-        # run scan AND window expansion stay distributed (corpus-bound);
+        # the unknown-surface scan stays distributed (corpus-bound);
         # SCORING runs as the distributed similarity join
         # (linking.build_link_map) once the vocabulary is non-trivial —
         # driver-side python scoring is a serial fixed cost that erodes
@@ -752,26 +838,46 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         # with the corpus vocabulary; the only unbounded collect below is
         # the LINKED map, which the similarity threshold bounds by the
         # dictionary size.
-        win_df = run_windows_df(instances, ontology).localCheckpoint(eager=True)
+        win_df = unknown_vocabulary_df(instances, ontology).localCheckpoint(eager=True)
         head = win_df.take(LINK_MAP_DRIVER_MAX + 1)
         if len(head) <= LINK_MAP_DRIVER_MAX:
             link_map = py_link_map([r["text"] for r in head], ontology)
         else:
             from .linking import build_link_map
 
-            link_rows = build_link_map(win_df, ontology, spark).collect()
-            link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
+            link_map = rows_to_map(build_link_map(win_df, ontology, spark).collect())
 
-    w = weights_pdf[~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)]
+    from ..operators.trainer import HASHED_DIM_FEATURE, hashed_dim
+
+    w = weights_pdf[
+        ~weights_pdf.feature.str.startswith(THRESHOLD_PREFIX)
+        & (weights_pdf.feature != HASHED_DIM_FEATURE)
+    ]
     weights = dict(zip(w.feature, w.weight.astype(float)))
+    dim = hashed_dim(weights_pdf)
+    if dim:
+        weights = HashedWeights(weights, dim)
     spec = ontology_spec(ontology)
     kb, kb_stats = None, None
     if kb_triples is not None:
         from .features import kb_datatype_stats
 
-        kb = set(
-            (r["pred"], r["obj"]) for r in kb_triples.select("pred", "obj").distinct().collect()
-        )
+        if "doc_key" in kb_triples.columns:
+            # TrainAsKnowledgeBase fit-time view: leave-one-doc-out masked
+            # membership (mirrors the _kb_n/_kb_only join in
+            # compute_features) — dict (pred, obj) -> (n_docs, min_doc)
+            kb = {}
+            for r in (
+                kb_triples.select("doc_key", "pred", "obj").distinct()
+                .groupBy("pred", "obj")
+                .agg(F.countDistinct("doc_key").alias("n"), F.min("doc_key").alias("only"))
+                .collect()
+            ):
+                kb[(r["pred"], r["obj"])] = (r["n"], r["only"])
+        else:
+            kb = set(
+                (r["pred"], r["obj"]) for r in kb_triples.select("pred", "obj").distinct().collect()
+            )
         kb_stats = kb_datatype_stats(kb_triples)
 
     pattern_rows = compile_pattern_table(ontology)
@@ -781,6 +887,7 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
             "patterns": pattern_rows, "link_map": link_map, "spec": spec,
             "weights": weights, "thresholds": dict(thresholds),
             "min_len": min_ner_length, "kb": kb, "kb_stats": kb_stats,
+            "ds_mode": ds_mode,
         }
     )
 
@@ -799,7 +906,7 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
                 for t in extract_document(
                     doc_key, content, compiled, v["link_map"], v["spec"],
                     v["weights"], v["thresholds"], v["min_len"], v["kb"],
-                    v["kb_stats"],
+                    v["kb_stats"], v["ds_mode"],
                 ):
                     recs.append(t + extra)
             yield pd.DataFrame(recs, columns=out_cols)

@@ -62,6 +62,24 @@ _CAP_TOKEN = re.compile(r"\b[A-Z][a-z]{3,}\b")
 MAX_SPAN_TOKENS = 8  # reference maxTokenPerAnnotation
                      # (explorer/EntityRecognitionExplorer.java:47)
 
+# the explorer's span stop list is punctuation only
+# (EntityRecognitionExplorer.java:70-71)
+_SPAN_STOP = frozenset({"%", ".", ",", "&", ":", ";", "<", ">", "=", "?", "!"})
+
+
+def dictionary_token_set(ontology) -> frozenset:
+    """Lowercased tokens of every dictionary surface form — the explorer's
+    first/last-token span gate (``AbstractDictionary.java:20,39-40,52-54``:
+    the dictionary collects the tokens of each entry name;
+    ``containsToken`` tests lowercased membership)."""
+    from ..functions.tokenize import _TOKEN
+
+    toks: set[str] = set()
+    for sf in ontology.dictionary.surface_form.drop_duplicates():
+        for m in _TOKEN.finditer(str(sf).lower()):
+            toks.add(m.group(0))
+    return frozenset(toks)
+
 
 def compile_patterns(pattern_rows):
     """Pattern-table rows -> list of (type_id, kind, class_id, is_dt, regex)."""
@@ -71,13 +89,27 @@ def compile_patterns(pattern_rows):
     ]
 
 
-def match_document(content: str, compiled, min_len: int, want_unknown: bool):
+def match_document(content: str, compiled, min_len: int, want_unknown: bool,
+                   dict_tokens: frozenset | None = None):
     """One document through the NER kernel. Returns (mentions, unknowns):
     mentions = [(kind, type_id, class_id, individual_id, is_dt, text, onset,
     offset, sent_idx, dt_value)], unknowns = [(text, onset, offset,
-    sent_idx)] (uncovered capitalized tokens, only if want_unknown).
+    sent_idx)] (uncovered unknown-span candidates, only if want_unknown).
     Single source of truth for both detect_mentions and the fused
-    extraction kernel — their mention sets agree by construction."""
+    extraction kernel — their mention sets agree by construction.
+
+    Unknown spans come from TWO gates, unioned:
+    * the reference's dictionary-token gate
+      (``explorer/EntityRecognitionExplorer.java:135-187``): every token
+      window of width max..1 whose FIRST and LAST token each appear
+      (lowercased) among the dictionary's surface-form tokens, containing
+      no punctuation stop token, not covered by a detected mention —
+      this is how lowercase / mixed-case unseen surfaces (gene symbols,
+      product names, code identifiers) reach fuzzy linking;
+    * the capitalized-run heuristic (runs of [A-Z][a-z]{3,} tokens): a
+      surface misspelled in EVERY token has no dictionary token to gate
+      on, but capitalization still marks it as a name candidate.
+    """
     content = content or ""
     bounds = sentence_bounds(content)
     rows, spans = [], []
@@ -107,13 +139,22 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool):
     unknowns = []
     if want_unknown:
         spans.sort()
-        # multi-token span enumeration (EntityRecognitionExplorer.java:
-        # 47,150-187): capitalized tokens adjacent across a single space
-        # form runs; every window of <= MAX_SPAN_TOKENS tokens within a run
-        # is an unknown-span candidate (longest spans emitted first), so a
-        # multi-token surface misspelled in EVERY token can still fuzzy-link
-        # as one span. Windows fully covered by a detected mention are
-        # skipped (the explorer's overlap filter).
+        seen_spans: set[tuple[int, int]] = set()
+
+        def emit(on: int, off: int):
+            if (on, off) in seen_spans:
+                return
+            if any(s <= on and off <= e for s, e in spans):
+                return  # covered by a detected mention (overlap filter)
+            seen_spans.add((on, off))
+            unknowns.append(
+                (content[on:off], on, off, sent_index_of(bounds, on) if bounds else 0)
+            )
+
+        # gate 1 — capitalized runs (tokens adjacent across a single
+        # space); every window of <= MAX_SPAN_TOKENS tokens within a run,
+        # longest first: a multi-token surface misspelled in EVERY token
+        # can still fuzzy-link as one span
         caps = [(t.start(), t.end(), t.group(0)) for t in _CAP_TOKEN.finditer(content)]
         runs, cur = [], []
         for c in caps:
@@ -127,12 +168,31 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool):
             nrun = len(run)
             for width in range(min(nrun, MAX_SPAN_TOKENS), 0, -1):
                 for i in range(nrun - width + 1):
-                    on, off = run[i][0], run[i + width - 1][1]
-                    if any(s <= on and off <= e for s, e in spans):
+                    emit(run[i][0], run[i + width - 1][1])
+
+        # gate 2 — the reference's dictionary-token gate over ALL token
+        # windows (EntityRecognitionExplorer.java:135-187): width==1 spans
+        # need len > 1; first (and for width > 1, last) token must appear
+        # in the dictionary token set; no punctuation stop token inside
+        if dict_tokens:
+            from ..functions.tokenize import _TOKEN
+
+            toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN.finditer(content)]
+            is_stop = [t[0] in _SPAN_STOP for t in toks]
+            in_dict = [t[0].lower() in dict_tokens for t in toks]
+            n = len(toks)
+            for width in range(min(n, MAX_SPAN_TOKENS), 0, -1):
+                for i in range(n - width + 1):
+                    if not in_dict[i]:
                         continue
-                    unknowns.append(
-                        (content[on:off], on, off, sent_index_of(bounds, on) if bounds else 0)
-                    )
+                    if width == 1 and len(toks[i][0]) == 1:
+                        continue
+                    j = i + width - 1
+                    if width > 1 and not in_dict[j]:
+                        continue
+                    if any(is_stop[k] for k in range(i, j + 1)):
+                        continue
+                    emit(toks[i][1], toks[j][2])
     return rows, unknowns
 
 
@@ -161,17 +221,19 @@ def detect_mentions(
     """
     pattern_rows = compile_pattern_table(ontology)
     spark = instances.sparkSession
-    bc = spark.sparkContext.broadcast(pattern_rows)
+    dict_toks = dictionary_token_set(ontology) if emit_unknown else None
+    bc = spark.sparkContext.broadcast((pattern_rows, dict_toks))
     min_len = min_ner_length
     want_unknown = emit_unknown
 
     def run(batches):
-        compiled = compile_patterns(bc.value)
+        rows_in, dtoks = bc.value
+        compiled = compile_patterns(rows_in)
         cols = MENTION_SCHEMA.fieldNames()
         for pdf in batches:
             recs = []
             for doc_key, content in zip(pdf["doc_key"], pdf["content"]):
-                rows, unknowns = match_document(content, compiled, min_len, want_unknown)
+                rows, unknowns = match_document(content, compiled, min_len, want_unknown, dtoks)
                 for r in rows:
                     recs.append((doc_key,) + r)
                 for text, on, off, sent in unknowns:

@@ -34,6 +34,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 THRESHOLD_PREFIX = "__THRESHOLD__"
+HASHED_PREFIX = "__HASHED__"        # model rows of the feature-hashed trainer
+HASHED_DIM_FEATURE = "__HASHED_DIM__"  # pseudo-row carrying n_buckets
+HASH_N_BUCKETS = 1 << 18
+# auto-escalation: above this many distinct training features the named
+# vocabulary (collected to the driver by assemble_vectors) is replaced by
+# signed feature hashing — the bow/bigram/char-3-gram families make the
+# train vocabulary corpus-vocabulary-bounded, so on a large training split
+# the named path would pull millions of strings through the driver
+HASH_VOCAB_MAX = 200_000
 
 
 def label_pairs(pairs: DataFrame, gold_triples: DataFrame) -> DataFrame:
@@ -290,6 +299,58 @@ def train_weights_distributed(
     )
 
 
+def hash_feature_names(features: DataFrame, n_buckets: int) -> DataFrame:
+    """Signed feature hashing (hashing trick): feature name ->
+    ``__HASHED__<crc32(name) mod n_buckets>``, value multiplied by a
+    second-hash sign in {-1,+1} so colliding features cancel in
+    expectation. Same long (pair_id, feature, value) contract in and out,
+    so every downstream consumer (assemble_vectors, score_pairs, the
+    threshold sweep) is unchanged. crc32 is chosen because Spark's
+    ``F.crc32`` and Python's ``zlib.crc32`` agree bit-for-bit over UTF-8
+    bytes — the fused kernel re-derives the same mapping executor-side
+    (``fused.HashedWeights``), pinned by tests/test_trainer_hashed.py."""
+    f = F.col("feature")
+    bucket = F.pmod(F.crc32(F.encode(f, "UTF-8")), F.lit(n_buckets))
+    sign = (F.pmod(F.crc32(F.encode(F.concat(f, F.lit("#")), "UTF-8")), F.lit(2)) * 2 - 1).cast("double")
+    return features.withColumn("value", F.col("value") * sign).withColumn(
+        "feature", F.concat(F.lit(HASHED_PREFIX), bucket.cast("string"))
+    )
+
+
+def train_weights_hashed(
+    features: DataFrame,
+    labels: DataFrame,
+    n_buckets: int = HASH_N_BUCKETS,
+    iters: int = 200,
+    l2: float = 1e-4,
+    elastic_net: float = 0.0,
+    tol: float = 1e-6,
+) -> pd.DataFrame:
+    """The documented escape hatch for vocabularies too large to collect:
+    the SAME distributed trainer over hash-bucketed features. The only
+    driver-sized object is the model itself — observed hash buckets, hard-
+    bounded by ``n_buckets`` regardless of corpus vocabulary (the named
+    path's ``assemble_vectors`` vocabulary collect is corpus-vocabulary-
+    bounded, the round-2 scale flag). Output contract unchanged:
+    (feature, weight) rows — bucket pseudo-names — plus per-slot
+    ``__THRESHOLD__[slot]`` rows and a ``__HASHED_DIM__`` row carrying
+    n_buckets so save/load and the scorers can re-derive the mapping."""
+    w = train_weights_distributed(
+        hash_feature_names(features, n_buckets), labels,
+        iters=iters, l2=l2, elastic_net=elastic_net, tol=tol,
+    )
+    dim_row = pd.DataFrame(
+        [(HASHED_DIM_FEATURE, float(n_buckets))], columns=["feature", "weight"]
+    )
+    return pd.concat([w, dim_row], ignore_index=True)
+
+
+def hashed_dim(weights: pd.DataFrame) -> int | None:
+    """n_buckets of a feature-hashed model, None for a named model."""
+    row = weights[weights.feature == HASHED_DIM_FEATURE]
+    return int(row.weight.iloc[0]) if len(row) else None
+
+
 def train_weights_liblinear(
     features: DataFrame,
     labels: DataFrame,
@@ -317,6 +378,9 @@ def thresholds_from_weights(weights: pd.DataFrame) -> dict:
 
 
 def model_weights_df(spark, weights: pd.DataFrame) -> DataFrame:
-    """Broadcastable model table without the threshold pseudo-rows."""
-    w = weights[~weights.feature.str.startswith(THRESHOLD_PREFIX)]
+    """Broadcastable model table without the threshold/dim pseudo-rows."""
+    w = weights[
+        ~weights.feature.str.startswith(THRESHOLD_PREFIX)
+        & (weights.feature != HASHED_DIM_FEATURE)
+    ]
     return spark.createDataFrame(w)

@@ -169,3 +169,84 @@ def slot_filler_cluster_distance_features(assignments: DataFrame,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def _smallest_range(lists):
+    """Smallest [lo, hi] covering one element from each sorted list — the
+    reference's exponential permute (DSSlotFillerClusterDistanceTemplate
+    .java:129-142 minimizes max-min over the cartesian product) solved in
+    O(N log k) with the classic k-pointer heap sweep. Returns (dist,
+    avg_dist) with avg = dist // k (the reference's int division :137)."""
+    import heapq
+
+    k = len(lists)
+    heap = [(lst[0], i, 0) for i, lst in enumerate(lists)]
+    heapq.heapify(heap)
+    hi = max(lst[0] for lst in lists)
+    best = None
+    while True:
+        lo, i, j = heap[0]
+        span = hi - lo
+        if best is None or span < best:
+            best = span
+        if j + 1 == len(lists[i]):
+            break
+        nxt = lists[i][j + 1]
+        heapq.heapreplace(heap, (nxt, i, j + 1))
+        hi = max(hi, nxt)
+    return best, best // k
+
+
+DS_DIST_BOUNDS = (0, 50, 100, 200, 500)
+DS_AVG_BOUNDS = (0, 10, 20, 30, 50, 100)
+
+
+def ds_cluster_distance_features(assignments: DataFrame, mentions: DataFrame) -> DataFrame:
+    """DSSlotFillerClusterDistanceTemplate (templates/
+    DSSlotFillerClusterDistanceTemplate.java:104-186): per root, over the
+    DISTINCT individuals assigned to its slots, the minimal char-span
+    covering one NERL mention position of EACH individual (distant
+    supervision: every mention of the filler counts, not just the assigned
+    span), emitted as the reference's threshold features
+    ``MIN DIST > {0,50,100,200,500}`` and ``MIN AVGDIST >
+    {0,10,20,30,50,100}`` (avg = dist // k). Individuals with no mention
+    rows are dropped; roots with < 2 embedded individuals emit nothing
+    (the reference returns on positions.size() <= 1).
+
+    Scale shape: the (root, individual) set is assignment-sized and the
+    mention join is doc_key-prefixed; the per-(doc, root) python step sees
+    only that root's filler positions (applyInPandas, Arrow-batched)."""
+    import pandas as pd
+
+    picked = (
+        assignments.filter(F.col("individual_id").isNotNull())
+        .select("doc_key", "root_id", "individual_id")
+        .distinct()
+    )
+    pos = picked.join(
+        mentions.filter(F.col("individual_id").isNotNull())
+        .select("doc_key", "individual_id", "onset"),
+        ["doc_key", "individual_id"],
+    )
+
+    def per_root(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_key, root_id = pdf.doc_key.iloc[0], pdf.root_id.iloc[0]
+        lists = [
+            sorted(g.onset.tolist())
+            for _, g in pdf.groupby("individual_id")
+        ]
+        if len(lists) <= 1:
+            return pd.DataFrame(columns=["doc_key", "root_id", "feature", "value"])
+        dist, avg = _smallest_range(lists)
+        rows = [
+            (doc_key, root_id, f"ds_mindist>{b}", 1.0)
+            for b in DS_DIST_BOUNDS if dist > b
+        ] + [
+            (doc_key, root_id, f"ds_minavgdist>{b}", 1.0)
+            for b in DS_AVG_BOUNDS if avg > b
+        ]
+        return pd.DataFrame(rows, columns=["doc_key", "root_id", "feature", "value"])
+
+    return pos.groupBy("doc_key", "root_id").applyInPandas(
+        per_root, schema="doc_key string, root_id string, feature string, value double"
+    )

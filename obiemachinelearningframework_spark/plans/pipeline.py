@@ -27,19 +27,39 @@ from ..operators.triples import materialize_triples
 
 class OBIEPipeline:
     def __init__(self, spark, ontology, min_ner_length: int = 2, fuzzy_linking: bool = True,
-                 trainer: str = "auto"):
+                 trainer: str = "auto", ds_mode: bool = False, train_as_kb: bool = False):
         """``trainer``: 'numpy' (driver full-batch GD — exact, for
         fixture-sized training samples), 'distributed' (Spark ML L-BFGS
         over executor-assembled sparse vectors — no corpus-sized driver
         collect), 'liblinear' (the reference's LibLinearScorer analog:
-        L1-regularized, scorer/LibLinearScorer.java:31-41), or 'auto'
-        (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled pairs, distributed
-        beyond)."""
+        L1-regularized, scorer/LibLinearScorer.java:31-41), 'hashed'
+        (distributed + signed feature hashing — no driver collect of the
+        feature VOCABULARY either; the escape hatch for corpora whose
+        bow/char-gram vocabulary outgrows HASH_VOCAB_MAX), or 'auto'
+        (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled pairs, then
+        distributed, escalating to hashed when the approximate distinct
+        feature count exceeds HASH_VOCAB_MAX).
+
+        ``ds_mode``: the reference's enableDistantSupervision — the
+        TokenContext family additionally fires at the positions of ALL
+        NERL mentions of the assigned class/individual
+        (templates/TokenContextTemplate.java:157-232), applied identically
+        at fit and predict time (relational + fused).
+
+        ``train_as_kb``: TrainAsKnowledgeBaseTemplate wiring — the
+        training gold becomes the KnowledgeBaseTemplate's KB: masked
+        leave-one-doc-out at fit time (a doc cannot see its own gold) and
+        unmasked at predict time (held-out docs are not in the KB). An
+        explicit ``kb_triples`` argument to predict()/predict_fused()
+        still overrides."""
         self.spark = spark
         self.ontology = ontology
         self.min_ner_length = min_ner_length
         self.fuzzy_linking = fuzzy_linking
         self.trainer = trainer
+        self.ds_mode = ds_mode
+        self.train_as_kb = train_as_kb
+        self._kb_triples: DataFrame | None = None
         self.weights: pd.DataFrame | None = None
         self.thresholds: dict = {}
         self._predict_caches: list = []
@@ -98,6 +118,13 @@ class OBIEPipeline:
     def mentions(self, instances: DataFrame) -> DataFrame:
         return self._mentions_with_caches(instances)[0]
 
+    def _ds_context(self, mentions: DataFrame, instances: DataFrame):
+        if not self.ds_mode:
+            return None
+        from ..operators.features import ds_token_context
+
+        return ds_token_context(mentions, instances)
+
     def roots_and_candidates(self, mentions: DataFrame):
         # candidates is a union of per-slot branches — union loses the
         # partitioning property, so re-declare doc_key clustering on the
@@ -120,21 +147,42 @@ class OBIEPipeline:
         mentions = mentions.cache()
         roots, candidates = self.roots_and_candidates(mentions)
         pairs = build_pairs(roots, candidates, inst).cache()
-        feats = compute_features(pairs, self.ontology)
+        kb_fit = None
+        if self.train_as_kb:
+            # fit-time KB view = the training gold WITH doc_key, which
+            # compute_features masks leave-one-doc-out; kept (doc_key-free)
+            # for predict-time membership
+            kb_fit = gold_triples.select("doc_key", "subj", "pred", "obj")
+            self._kb_triples = gold_triples.select("subj", "pred", "obj").distinct()
+        feats = compute_features(pairs, self.ontology, kb_triples=kb_fit,
+                                 ds_context=self._ds_context(mentions, inst))
         labels = label_pairs(pairs, gold_triples)
         mode = self.trainer
         if mode == "auto":
             # the labeled-pair count decides whether a driver collect is
             # safe; the count itself runs on the (cached-pairs) plan
-            mode = (
-                "numpy"
-                if labels.count() <= self.TRAIN_COLLECT_MAX_PAIRS
-                else "distributed"
-            )
+            if labels.count() <= self.TRAIN_COLLECT_MAX_PAIRS:
+                mode = "numpy"
+            else:
+                # second escalation: when even the feature VOCABULARY is
+                # too big to collect (assemble_vectors' named path pulls
+                # the distinct feature strings through the driver), switch
+                # to signed feature hashing — one cheap approx-distinct
+                # aggregation decides
+                from ..operators.trainer import HASH_VOCAB_MAX
+
+                n_vocab = feats.agg(
+                    F.approx_count_distinct("feature").alias("n")
+                ).collect()[0]["n"]
+                mode = "hashed" if n_vocab > HASH_VOCAB_MAX else "distributed"
         if mode == "distributed":
             from ..operators.trainer import train_weights_distributed
 
             self.weights = train_weights_distributed(feats, labels)
+        elif mode == "hashed":
+            from ..operators.trainer import train_weights_hashed
+
+            self.weights = train_weights_hashed(feats, labels)
         elif mode == "liblinear":
             from ..operators.trainer import train_weights_liblinear
 
@@ -151,6 +199,8 @@ class OBIEPipeline:
     def predict(self, instances: DataFrame, alias_edges: DataFrame | None = None,
                 kb_triples: DataFrame | None = None) -> dict:
         assert self.weights is not None, "fit() or load_weights() first"
+        if kb_triples is None and self.train_as_kb:
+            kb_triples = self._kb_triples
         w_df = model_weights_df(self.spark, self.weights)
         # two cache points only: mentions (the regex kernel feeds both the
         # roots and the candidates branch — without it the expensive UDF
@@ -176,8 +226,12 @@ class OBIEPipeline:
         self.release_caches()
         self._predict_caches.append(mentions)
         roots, candidates = self.roots_and_candidates(mentions)
+        from ..operators.trainer import hashed_dim
+
         pairs = scored_pairs(roots, candidates, instances, w_df, self.ontology, kb_triples,
-                             cache_registry=self._predict_caches)
+                             cache_registry=self._predict_caches,
+                             hashed_dim=hashed_dim(self.weights),
+                             ds_context=self._ds_context(mentions, instances))
         assignments = greedy_fill(pairs, self.ontology, self.thresholds)
         triples = materialize_triples(assignments)
         # cross-doc canonicalization: entity ids from dictionary grounding
@@ -229,10 +283,13 @@ class OBIEPipeline:
         assert self.weights is not None, "fit() or load_weights() first"
         from ..operators.fused import extract_fused
 
+        if kb_triples is None and self.train_as_kb:
+            kb_triples = self._kb_triples
         return extract_fused(
             instances, self.ontology, self.weights, self.thresholds,
             min_ner_length=self.min_ner_length, kb_triples=kb_triples,
             fuzzy_linking=self.fuzzy_linking, carry_cols=carry_cols,
+            ds_mode=self.ds_mode,
         )
 
     # ----------------------------------------------------------- model (de)ser

@@ -28,11 +28,9 @@ from obiemachinelearningframework_spark.operators.fused import (
     _pair_features,
     ontology_spec,
     py_link_map,
-    capitalized_vocabulary,
-    expand_run_windows,
+    unknown_vocabulary_df,
 )
 from obiemachinelearningframework_spark.operators.mentions import (
-    MAX_SPAN_TOKENS,
     compile_patterns,
     detect_mentions,
     prepare_instances,
@@ -82,11 +80,12 @@ def test_full_feature_parity(spark, domain):
     # ---- fused: same link map (py mirror), per-doc chain
     spec = ontology_spec(ont)
     compiled = compile_patterns(compile_pattern_table(ont))
-    runs = [r["text"] for r in capitalized_vocabulary(inst, ont).collect()]
-    link_map = py_link_map(expand_run_windows(runs, MAX_SPAN_TOKENS), ont)
+    vocab = [r["text"] for r in unknown_vocabulary_df(inst, ont).collect()]
+    link_map = py_link_map(vocab, ont)
     fused = defaultdict(float)
     for row in inst.select("doc_key", "content").collect():
-        m = _doc_mentions(row["content"], compiled, 2, link_map)
+        m = _doc_mentions(row["content"], compiled, 2, link_map,
+                          dict_tokens=spec["dict_tokens"])
         roots_f = _doc_roots(m, spec, row["doc_key"])
         if not roots_f:
             continue

@@ -3,7 +3,7 @@
 Round-2 verdict (What's wrong #2): ``extract_fused`` collected every
 distinct capitalized run in the corpus to the driver before window
 expansion — corpus-vocabulary-bounded, GBs at 100 TB. The fix keeps runs
-and window expansion distributed (``run_windows_df``), gates the
+and unknown-surface scan distributed (``unknown_vocabulary_df``), gates the
 micro-vocabulary fast path with a hard-bounded ``take(MAX+1)``, and
 collects only the LINKED map (bounded by the dictionary through the
 similarity threshold). Pinned two ways:
@@ -61,7 +61,7 @@ def test_distributed_link_map_smoke_large_vocabulary(spark):
         rows.append(("r", f"f{d}.txt", "c0ffee00", "py", words))
     src = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
     inst = pipe.prepare(spark.createDataFrame(src))
-    n_windows = Fz.run_windows_df(inst, c["ontology"]).count()
+    n_windows = Fz.unknown_vocabulary_df(inst, c["ontology"]).count()
     assert n_windows > 10 * Fz.LINK_MAP_DRIVER_MAX
 
     pipe.fit(pipe.prepare(spark.createDataFrame(c["source"])),

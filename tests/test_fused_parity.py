@@ -43,11 +43,11 @@ def test_fused_matches_relational(spark, domain):
         # above actually exercised the fuzzy-linking code path (the python
         # link map must agree with linking.build_link_map, not be empty)
         from obiemachinelearningframework_spark.operators.fused import (
-            capitalized_vocabulary,
             py_link_map,
+            unknown_vocabulary_df,
         )
 
-        vocab = [r["text"] for r in capitalized_vocabulary(inst, c["ontology"]).collect()]
+        vocab = [r["text"] for r in unknown_vocabulary_df(inst, c["ontology"]).collect()]
         assert py_link_map(vocab, c["ontology"]), "fuzzy linking not exercised"
 
 

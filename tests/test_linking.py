@@ -25,8 +25,18 @@ def test_fuzzy_links_unseen_typos(spark):
     hit = sum(1 for t in typos.itertuples() if (t.doc_key, t.individual_id, int(t.onset)) in got)
     assert hit >= 0.9 * len(typos), f"linked {hit}/{len(typos)} typo mentions"
 
-    # precision: links must not invent wrong individuals for known-good rows
-    merged = linked.merge(
+    # precision: the RANK-1 link must not invent wrong individuals for
+    # known-good rows (ranks 2..top_k are retrieval alternatives for the
+    # scorer to disambiguate, not assertions)
+    from obiemachinelearningframework_spark.operators.linking import (
+        apply_link_map,
+        build_link_map,
+    )
+
+    top1 = apply_link_map(
+        unknown, build_link_map(unknown, c["ontology"], spark).filter("rank = 1")
+    ).toPandas()
+    merged = top1.merge(
         typos[["doc_key", "onset", "individual_id"]].astype({"onset": int}),
         on=["doc_key", "onset"],
         suffixes=("_pred", "_gold"),
@@ -62,19 +72,19 @@ def test_multi_token_misspelled_span_links(spark):
 
 
 def test_fused_link_map_covers_multi_token_spans(spark):
-    """The fused kernel's driver-built link map (run scan + window
-    expansion) must agree with the relational path on the same span."""
+    """The fused kernel's link map (distributed unknown-surface scan + py
+    scoring mirror) must agree with the relational path on the same span,
+    and its values are ORDERED top-k alternative lists."""
     from obiemachinelearningframework_spark.fixtures.ontology import soccer_ontology
     from obiemachinelearningframework_spark.operators.fused import (
-        capitalized_vocabulary, expand_run_windows, py_link_map,
+        py_link_map, unknown_vocabulary_df,
     )
-    from obiemachinelearningframework_spark.operators.mentions import MAX_SPAN_TOKENS
 
     ont = soccer_ontology()
     inst = spark.createDataFrame(
         [("d1", "Jonaz Vargo and Mateo Silva signed today.")], ["doc_key", "content"]
     )
-    runs = [r["text"] for r in capitalized_vocabulary(inst, ont).collect()]
-    assert any(" " in r for r in runs)
-    lm = py_link_map(expand_run_windows(runs, MAX_SPAN_TOKENS), ont)
-    assert lm.get("jonaz vargo", (None, None))[0] == "player_jonas_varga"
+    vocab = [r["text"] for r in unknown_vocabulary_df(inst, ont).collect()]
+    assert any(" " in v for v in vocab)
+    lm = py_link_map(vocab, ont)
+    assert lm["jonaz vargo"][0][0] == "player_jonas_varga"

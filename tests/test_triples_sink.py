@@ -9,8 +9,8 @@ is map -> shuffle-on-write with zero joins. These tests pin:
   (doc_key, subj, pred, obj) and the carried (repo, lang) match the
   instance table;
 * the salted write plan contains NO BroadcastExchange / join at all;
-* the JVM-side run-window expansion equals the driver mirror
-  (``expand_run_windows``) on the same corpus.
+* the distributed unknown-surface scan COVERS every unknown span the
+  extraction kernel enumerates (link-map completeness).
 """
 
 import glob
@@ -20,12 +20,11 @@ from contextlib import redirect_stdout
 from pyspark.sql import functions as F
 
 from obiemachinelearningframework_spark.fixtures import generate_corpus
-from obiemachinelearningframework_spark.operators.fused import (
-    capitalized_vocabulary,
-    expand_run_windows,
-    run_windows_df,
+from obiemachinelearningframework_spark.operators.fused import unknown_vocabulary_df
+from obiemachinelearningframework_spark.operators.mentions import (
+    UNKNOWN_KIND,
+    detect_mentions,
 )
-from obiemachinelearningframework_spark.operators.mentions import MAX_SPAN_TOKENS
 from obiemachinelearningframework_spark.operators.triples import (
     with_partition_salt,
     write_triples,
@@ -86,11 +85,19 @@ def test_carry_cols_and_broadcast_free_sink(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
-def test_run_windows_df_matches_driver_mirror(spark):
+def test_unknown_vocabulary_covers_kernel_spans(spark):
+    """Link-map completeness: every unknown span the extraction kernel
+    enumerates (both gates, post coverage filter) must appear in the
+    distributed pre-scan's surface set — otherwise the fused kernel would
+    look up surfaces the broadcast map never scored."""
     c = generate_corpus("disease", n_docs=40, seed=42)
     pipe = OBIEPipeline(spark, c["ontology"])
     inst = pipe.prepare(spark.createDataFrame(c["source"]))
-    runs = [r["text"] for r in capitalized_vocabulary(inst, c["ontology"]).collect()]
-    expected = expand_run_windows(runs, MAX_SPAN_TOKENS)
-    got = {r["text"] for r in run_windows_df(inst, c["ontology"]).collect()}
-    assert got == expected and len(got) > 0
+    kernel_surfaces = {
+        r["text"]
+        for r in detect_mentions(inst, c["ontology"], emit_unknown=True)
+        .filter(F.col("kind") == UNKNOWN_KIND)
+        .select("text").distinct().collect()
+    }
+    scan = {r["text"] for r in unknown_vocabulary_df(inst, c["ontology"]).collect()}
+    assert kernel_surfaces and kernel_surfaces <= scan

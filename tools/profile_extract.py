@@ -6,10 +6,9 @@ fixed-vs-parallel cost split is visible:
     gen        driver-side corpus generation (outside the gate timing)
     prepare    createDataFrame + repartition + cache + count
     fit        training (constant-size sample)
-    vocab      capitalized_vocabulary(...).collect()   [corpus scan]
-    windows    expand_run_windows                      [driver python]
+    vocab      unknown_vocabulary_df(...)               [corpus scan]
     linkmap    py_link_map or distributed build_link_map
-    mapstage   the fused mapInPandas count             [the parallel work]
+    mapstage   the fused mapInPandas count              [the parallel work]
 
 Usage:  SPARK_GRAFT_CPUS=32 OBIE_BENCH_DOCS=96000 python tools/profile_extract.py
 """
@@ -55,26 +54,22 @@ def main() -> None:
     t["fit"] = time.perf_counter() - t0
 
     # --- extract, phase by phase (mirrors extract_fused's sequence) ---
-    from obiemachinelearningframework_spark.operators.mentions import MAX_SPAN_TOKENS
-
     t0 = time.perf_counter()
-    runs = [r["text"] for r in Fz.capitalized_vocabulary(inst, pipe.ontology).collect()]
+    win_df = Fz.unknown_vocabulary_df(inst, pipe.ontology).localCheckpoint(eager=True)
+    head = win_df.take(Fz.LINK_MAP_DRIVER_MAX + 1)
     t["vocab"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    windows = Fz.expand_run_windows(runs, MAX_SPAN_TOKENS)
-    t["windows"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    if len(windows) <= Fz.LINK_MAP_DRIVER_MAX:
-        link_map = Fz.py_link_map(windows, pipe.ontology)
+    if len(head) <= Fz.LINK_MAP_DRIVER_MAX:
+        link_map = Fz.py_link_map([r["text"] for r in head], pipe.ontology)
         branch = "driver"
     else:
         from obiemachinelearningframework_spark.operators.linking import build_link_map
 
-        win_df = spark.createDataFrame([(w,) for w in sorted(windows)], ["text"])
-        link_rows = build_link_map(win_df, pipe.ontology, spark).collect()
-        link_map = {r["token"]: (r["type_id"], r["class_id"]) for r in link_rows}
+        rows = build_link_map(win_df, pipe.ontology, spark).collect()
+        link_map = {}
+        for r in sorted(rows, key=lambda r: (r["token"], r["rank"])):
+            link_map.setdefault(r["token"], []).append((r["type_id"], r["class_id"]))
         branch = "distributed"
     t["linkmap"] = time.perf_counter() - t0
 
@@ -84,8 +79,12 @@ def main() -> None:
     t0 = time.perf_counter()
     link_df = spark.createDataFrame(
         pd.DataFrame(
-            [(k, v[0], v[1]) for k, v in link_map.items()],
-            columns=["token", "type_id", "class_id"],
+            [
+                (tok, tid, cls, rank)
+                for tok, alts in link_map.items()
+                for rank, (tid, cls) in enumerate(alts, start=1)
+            ],
+            columns=["token", "type_id", "class_id", "rank"],
         )
     ) if link_map else None
     n = extract_fused(
@@ -100,7 +99,7 @@ def main() -> None:
     t["full_extract"] = time.perf_counter() - t0
 
     print(
-        f"cpus={cpus} docs={n_docs} runs={len(runs)} windows={len(windows)} "
+        f"cpus={cpus} docs={n_docs} "
         f"linkmap={len(link_map)} branch={branch} triples={n}/{n2}"
     )
     for k, v in t.items():
