@@ -137,7 +137,7 @@ def ontology_spec(ontology, no_evidence_classes: frozenset = frozenset(),
         anchor_classes = set(ontology.subclasses_of(srow.range_class_id))
         anchored = False
 
-    from .mentions import dictionary_token_set
+    from .mentions import dictionary_token_set, linkable_span_band
 
     return {
         "root_cls": root_cls,
@@ -146,8 +146,10 @@ def ontology_spec(ontology, no_evidence_classes: frozenset = frozenset(),
         "slots": slot_specs,
         "class_depth": {c: int(d) for c, d in ontology.class_depth.items()},
         # first/last-token span gate for unknown-span enumeration
-        # (EntityRecognitionExplorer.java:150-161)
+        # (EntityRecognitionExplorer.java:150-161) + the lossless
+        # linkable-length band that caps window enumeration
         "dict_tokens": dictionary_token_set(ontology),
+        "span_band": linkable_span_band(ontology),
         # individual -> lowercased name, for the individual-name similarity
         # factor (StringSimilarityTemplate.java:109-111)
         "ind_labels": dict(
@@ -159,14 +161,14 @@ def ontology_spec(ontology, no_evidence_classes: frozenset = frozenset(),
 # ------------------------------------------------------------------ stages
 
 
-def _doc_mentions(content, compiled, min_len, link_map, dict_tokens=None):
+def _doc_mentions(content, compiled, min_len, link_map, dict_tokens=None, span_band=None):
     """Mentions incl. fuzzy-linked unknown tokens, deduped on
     (kind, type_id, onset, offset) — detect_mentions + apply_link_map.
     ``link_map`` values are ORDERED candidate lists (ranks 1..top_k): every
     retrieved alternative becomes a mention, the scorer disambiguates
     (LuceneRetrieval.java:39-40)."""
     rows, unknowns = match_document(content, compiled, min_len, want_unknown=True,
-                                    dict_tokens=dict_tokens)
+                                    dict_tokens=dict_tokens, span_band=span_band)
     for text, on, off, sent in unknowns:
         for type_id, class_id in link_map.get(text.lower(), ()):
             rows.append(
@@ -677,7 +679,8 @@ def extract_document(doc_key, content, compiled, link_map, spec, weights, thresh
                      min_len=2, kb=None, kb_stats=None, ds_mode=False):
     """content -> [(doc_key, subj, pred, obj)] — the full fused inference."""
     mentions = _doc_mentions(content, compiled, min_len, link_map,
-                             dict_tokens=spec.get("dict_tokens"))
+                             dict_tokens=spec.get("dict_tokens"),
+                             span_band=spec.get("span_band"))
     roots = _doc_roots(mentions, spec, doc_key)
     if not roots:
         return []
@@ -771,17 +774,18 @@ def unknown_vocabulary_df(instances: DataFrame, ontology) -> DataFrame:
     distinct surface set flows downstream. Python is unavoidable here: the
     dictionary-token gate needs token OFFSETS to cut exact content
     substrings, which regexp_extract_all cannot produce."""
-    from .mentions import dictionary_token_set
+    from .mentions import dictionary_token_set, linkable_span_band
 
     dict_toks = dictionary_token_set(ontology)
-    bc = instances.sparkSession.sparkContext.broadcast(dict_toks)
+    band = linkable_span_band(ontology)
+    bc = instances.sparkSession.sparkContext.broadcast((dict_toks, band))
 
     def scan(batches):
-        dtoks = bc.value
+        dtoks, bnd = bc.value
         for pdf in batches:
             out = set()
             for content in pdf["content"]:
-                _, unknowns = match_document(content, (), 2, True, dtoks)
+                _, unknowns = match_document(content, (), 2, True, dtoks, bnd)
                 out.update(u[0] for u in unknowns)
             yield pd.DataFrame({"text": sorted(out)})
 
@@ -865,15 +869,14 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         if "doc_key" in kb_triples.columns:
             # TrainAsKnowledgeBase fit-time view: leave-one-doc-out masked
             # membership (mirrors the _kb_n/_kb_only join in
-            # compute_features) — dict (pred, obj) -> (n_docs, min_doc)
-            kb = {}
-            for r in (
+            # compute_features) — dict (pred, obj) -> (n_docs, min_doc);
+            # KB-bounded collect (caller-supplied prior/gold KB)
+            kb_rows = (
                 kb_triples.select("doc_key", "pred", "obj").distinct()
                 .groupBy("pred", "obj")
                 .agg(F.countDistinct("doc_key").alias("n"), F.min("doc_key").alias("only"))
-                .collect()
-            ):
-                kb[(r["pred"], r["obj"])] = (r["n"], r["only"])
+            )
+            kb = {(r["pred"], r["obj"]): (r["n"], r["only"]) for r in kb_rows.collect()}
         else:
             kb = set(
                 (r["pred"], r["obj"]) for r in kb_triples.select("pred", "obj").distinct().collect()

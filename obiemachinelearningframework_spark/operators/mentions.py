@@ -81,6 +81,30 @@ def dictionary_token_set(ontology) -> frozenset:
     return frozenset(toks)
 
 
+def linkable_span_band(ontology) -> tuple | None:
+    """Char-length band [0.7*min_surface, max_surface/0.7] outside which NO
+    unknown span can pass the fuzzy-linking gate: lev_sim = 1 - d/max(|t|,
+    |s|) >= MIN_LEV_SIM forces |t| within a factor of the surface length
+    (d >= abs(|t|-|s|)). Pruning enumeration to the band is therefore
+    LOSSLESS for linking while capping the distinct-window vocabulary the
+    corpus-wide pre-scan must shuffle — without it, a hot dictionary token
+    makes the gate-2 window set combinatorial at 100 TB. Band over
+    individual-kind surfaces only (build_link_map links individuals)."""
+    import math
+
+    from .linking import MIN_LEV_SIM
+
+    d = ontology.dictionary
+    surfaces = d[d.kind == "individual"].surface_form.astype(str)
+    if not len(surfaces):
+        return None
+    lens = surfaces.str.len()
+    return (
+        int(math.ceil(MIN_LEV_SIM * int(lens.min()))),
+        int(math.floor(int(lens.max()) / MIN_LEV_SIM)),
+    )
+
+
 def compile_patterns(pattern_rows):
     """Pattern-table rows -> list of (type_id, kind, class_id, is_dt, regex)."""
     return [
@@ -90,7 +114,8 @@ def compile_patterns(pattern_rows):
 
 
 def match_document(content: str, compiled, min_len: int, want_unknown: bool,
-                   dict_tokens: frozenset | None = None):
+                   dict_tokens: frozenset | None = None,
+                   span_band: tuple | None = None):
     """One document through the NER kernel. Returns (mentions, unknowns):
     mentions = [(kind, type_id, class_id, individual_id, is_dt, text, onset,
     offset, sent_idx, dt_value)], unknowns = [(text, onset, offset,
@@ -142,6 +167,8 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
         seen_spans: set[tuple[int, int]] = set()
 
         def emit(on: int, off: int):
+            if span_band and not (span_band[0] <= off - on <= span_band[1]):
+                return  # provably unlinkable length (linkable_span_band)
             if (on, off) in seen_spans:
                 return
             if any(s <= on and off <= e for s, e in spans):
@@ -178,21 +205,27 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
             from ..functions.tokenize import _TOKEN
 
             toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN.finditer(content)]
-            is_stop = [t[0] in _SPAN_STOP for t in toks]
             in_dict = [t[0].lower() in dict_tokens for t in toks]
             n = len(toks)
-            for width in range(min(n, MAX_SPAN_TOKENS), 0, -1):
-                for i in range(n - width + 1):
-                    if not in_dict[i]:
-                        continue
-                    if width == 1 and len(toks[i][0]) == 1:
-                        continue
-                    j = i + width - 1
-                    if width > 1 and not in_dict[j]:
-                        continue
-                    if any(is_stop[k] for k in range(i, j + 1)):
-                        continue
-                    emit(toks[i][1], toks[j][2])
+            # next stop-token index at or after each position: a window
+            # from i may extend to j < next_stop[i] only — this plus the
+            # dict-start skip makes the sweep O(dict_starts x MAX_SPAN)
+            # instead of O(n x MAX_SPAN) (the kernel runs per document on
+            # the hot path AND in the corpus-wide vocabulary pre-scan)
+            next_stop = [n] * (n + 1)
+            for i in range(n - 1, -1, -1):
+                next_stop[i] = i if toks[i][0] in _SPAN_STOP else next_stop[i + 1]
+            for i in range(n):
+                if not in_dict[i] or next_stop[i] == i:
+                    continue
+                limit = min(i + MAX_SPAN_TOKENS, next_stop[i], n)
+                for j in range(limit - 1, i, -1):
+                    # width > 1: last token must pass the dict gate too
+                    if in_dict[j]:
+                        emit(toks[i][1], toks[j][2])
+                # width == 1: single tokens need length > 1
+                if len(toks[i][0]) > 1:
+                    emit(toks[i][1], toks[i][2])
     return rows, unknowns
 
 
@@ -222,18 +255,20 @@ def detect_mentions(
     pattern_rows = compile_pattern_table(ontology)
     spark = instances.sparkSession
     dict_toks = dictionary_token_set(ontology) if emit_unknown else None
-    bc = spark.sparkContext.broadcast((pattern_rows, dict_toks))
+    band = linkable_span_band(ontology) if emit_unknown else None
+    bc = spark.sparkContext.broadcast((pattern_rows, dict_toks, band))
     min_len = min_ner_length
     want_unknown = emit_unknown
 
     def run(batches):
-        rows_in, dtoks = bc.value
+        rows_in, dtoks, bnd = bc.value
         compiled = compile_patterns(rows_in)
         cols = MENTION_SCHEMA.fieldNames()
         for pdf in batches:
             recs = []
             for doc_key, content in zip(pdf["doc_key"], pdf["content"]):
-                rows, unknowns = match_document(content, compiled, min_len, want_unknown, dtoks)
+                rows, unknowns = match_document(content, compiled, min_len, want_unknown,
+                                                dtoks, bnd)
                 for r in rows:
                     recs.append((doc_key,) + r)
                 for text, on, off, sent in unknowns:

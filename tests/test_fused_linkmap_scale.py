@@ -31,6 +31,7 @@ def test_no_corpus_bounded_collect_in_fused():
         "build_link_map(win_df",     # LINKED map: dictionary-bounded by
                                      # the similarity threshold
         "kb_triples.select",         # caller-provided prior KB
+        "kb_rows.collect",           # masked TrainAsKB view: KB-bounded
     )
     for m in re.finditer(r"^.*\.collect\(\).*$", src, re.M):
         line = m.group(0)
