@@ -263,7 +263,7 @@ def _pair_section(pr: dict) -> str:
     thr_hi = rhi["obie_triples_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     s = (
-        f"### local[{lo}] -> local[{hi}]\n\n"
+        f"### local[{lo}] -> local[{hi}] ({rlo['obie_docs']} docs)\n\n"
         "| parallelism | obie_extract (s) | triples | triples/sec | steal% during best rep |\n"
         "|---|---|---|---|---|\n"
         f"| local[{lo}] | {rlo['queries']['obie_extract']} | {rlo['obie_triples']} | {thr_lo} | {rlo.get('steal_pct')} |\n"
@@ -306,7 +306,16 @@ def scaling() -> None:
         tuple(int(x) for x in pair.split(","))
         for pair in os.environ.get("OBIE_SCALING_PAIRS", "2,8;8,32").split(";")
     ]
-    scaling_docs = os.environ.get("OBIE_SCALING_DOCS", "48000")
+    # per-pair corpus sizes (";"-separated, matched to OBIE_SCALING_PAIRS;
+    # a single value applies to every pair): the corpus must SATURATE the
+    # higher parallelism of each pair or the ratio measures fixed per-job
+    # latency, not scaling — a production job runs for hours, so the
+    # saturated regime is the honest one. Default doubles the corpus for
+    # the 8->32 pair to hold per-core work comparable across pairs.
+    docs_cfg = os.environ.get("OBIE_SCALING_DOCS", "48000;96000").split(";")
+    if len(docs_cfg) == 1:
+        docs_cfg = docs_cfg * len(pairs)
+    assert len(docs_cfg) == len(pairs), "OBIE_SCALING_DOCS must match OBIE_SCALING_PAIRS"
     repeats = int(os.environ.get("OBIE_SCALING_REPEATS", "3"))
     warm_runs = os.environ.get("OBIE_WARM_RUNS", "1")
 
@@ -320,9 +329,10 @@ def scaling() -> None:
             control = json.load(f)
 
     results = [
-        _scaling_pair(lo, hi, scaling_docs, repeats, warm_runs, weights_path)
-        for lo, hi in pairs
+        _scaling_pair(lo, hi, pair_docs, repeats, warm_runs, weights_path)
+        for (lo, hi), pair_docs in zip(pairs, docs_cfg)
     ]
+    scaling_docs = " / ".join(dict.fromkeys(docs_cfg))
 
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
