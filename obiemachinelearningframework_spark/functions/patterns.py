@@ -108,11 +108,38 @@ def build_name_pattern(names: list[str]) -> str | None:
     return PRE_BOUNDS + core + POST_BOUNDS
 
 
+def name_pattern_probes(names: list[str]) -> tuple[str, ...]:
+    """Guaranteed-literal prefilter for ``build_name_pattern``: every match
+    MUST contain one of these lowercase substrings, by construction of the
+    size-switch — the 1/2-token arms make ``names[0]`` mandatory
+    (`_expr_tail_optional`), the 3+-token arms match ``p1(...)?|p2``
+    (`_expr_head_alt`), so ``names[0]`` or ``names[1]`` is present.
+    ``match_document`` skips the regex scan when no probe occurs in the
+    lowered content — the scan itself is the NER kernel's hot cost (one
+    pass per pattern per document). Probes are advisory: non-ASCII names
+    (where ``str.lower`` and ``re.IGNORECASE`` folding could disagree)
+    return () = always scan."""
+    if not names:
+        return ()
+    probes = names[:1] if len(names) <= 2 else names[:2]
+    if any(not p.isascii() for p in probes):
+        return ()
+    return tuple(p.lower() for p in probes)
+
+
 def surface_pattern(surface_form: str) -> str:
     """Exact (word-bounded, case-insensitive) pattern for a dictionary
     surface form — dictionary entries are matched literally
     (ner/dictionary/AbstractDictionary.java: lowercase surface-form set)."""
     return PRE_BOUNDS + re.escape(surface_form) + POST_BOUNDS
+
+
+def surface_probes(surface_form: str) -> tuple[str, ...]:
+    """Guaranteed-literal prefilter for ``surface_pattern``: the pattern is
+    the escaped surface itself, so any match contains the lowercased
+    surface verbatim. Non-ASCII -> () = always scan (see
+    ``name_pattern_probes``)."""
+    return (surface_form.lower(),) if surface_form.isascii() else ()
 
 
 def compile_pattern_table(ontology, min_token_length: int = 3) -> list[dict]:
@@ -132,24 +159,29 @@ def compile_pattern_table(ontology, min_token_length: int = 3) -> list[dict]:
     for class_id in cls.class_id:
         if class_id in dt_classes:
             continue
-        pat = build_name_pattern(name_tokens(class_id, min_token_length))
+        toks = name_tokens(class_id, min_token_length)
+        pat = build_name_pattern(toks)
         if pat:
             rows.append({"type_id": class_id, "kind": "class", "class_id": class_id,
-                         "is_datatype": False, "pattern": pat})
+                         "is_datatype": False, "pattern": pat,
+                         "probes": name_pattern_probes(toks)})
     for r in ontology.individuals.itertuples():
-        pat = build_name_pattern(name_tokens(r.label, min_token_length))
+        toks = name_tokens(r.label, min_token_length)
+        pat = build_name_pattern(toks)
         if pat:
             rows.append({"type_id": r.individual_id, "kind": "individual", "class_id": r.class_id,
-                         "is_datatype": False, "pattern": pat})
+                         "is_datatype": False, "pattern": pat,
+                         "probes": name_pattern_probes(toks)})
     for r in ontology.dictionary.itertuples():
         class_id = r.type_id if r.kind == "class" else ind_class.get(r.type_id)
         rows.append({"type_id": r.type_id, "kind": r.kind, "class_id": class_id,
                      "is_datatype": r.type_id in dt_classes or class_id in dt_classes,
-                     "pattern": surface_pattern(r.surface_form)})
+                     "pattern": surface_pattern(r.surface_form),
+                     "probes": surface_probes(r.surface_form)})
     for class_id, pats in ontology.datatype_patterns.items():
         for pat in pats:
             rows.append({"type_id": class_id, "kind": "class", "class_id": class_id,
-                         "is_datatype": True, "pattern": pat})
+                         "is_datatype": True, "pattern": pat, "probes": ()})
     # auxiliary-class pattern extension (ner/regex/AbstractRegExNERL.java:
     # 251-282): auxiliary classes carry no meaningful name of their own, so
     # they INHERIT the patterns of their slot-range classes — a mention of
@@ -159,13 +191,14 @@ def compile_pattern_table(ontology, min_token_length: int = 3) -> list[dict]:
         by_class: dict = {}
         for r in rows:
             if r["kind"] == "class":
-                by_class.setdefault(r["class_id"], []).append(r["pattern"])
+                by_class.setdefault(r["class_id"], []).append((r["pattern"], r["probes"]))
         for aux in sorted(aux_classes):
             related = ontology.slots[ontology.slots.owner_class_id == aux].range_class_id
             for rng in related:
-                for pat in by_class.get(rng, []):
+                for pat, probes in by_class.get(rng, []):
                     rows.append({"type_id": aux, "kind": "class", "class_id": aux,
-                                 "is_datatype": False, "pattern": pat})
+                                 "is_datatype": False, "pattern": pat,
+                                 "probes": probes})
     # dedupe identical (type, pattern) pairs
     seen = set()
     out = []

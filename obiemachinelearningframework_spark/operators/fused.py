@@ -398,7 +398,19 @@ def _ds_context_maps(mentions, content):
 
 def _pair_features(r, c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
     """The fused feature projection of features.py:compute_features for one
-    (root, candidate) pair; yields (feature, value)."""
+    (root, candidate) pair; yields (feature, value). Split into the
+    candidate-only half (identical for every root — ``_cand_features``) and
+    the root-dependent half (``_root_pair_features``) so ``_doc_fill`` can
+    score the candidate half ONCE per candidate instead of once per
+    (root, candidate) pair; this generator remains the parity surface the
+    relational plan is pinned against."""
+    yield from _cand_features(c, content, stats, spec, kb, kb_stats, ds_maps)
+    yield from _root_pair_features(r, c, content, stats)
+
+
+def _cand_features(c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
+    """Root-independent features of the pair projection (context windows,
+    string similarity, BOW/n-grams, document stats, KB membership)."""
     slot = c["slot_name"]
     if ds_maps is not None:
         # TokenContext DS mode (mirrors the ds_context join in
@@ -412,6 +424,112 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
                 yield f"ctxds[ind:{c['individual_id']}]={s}", 1.0
     onset, offset = c["onset"], c["offset"]
     yield f"bias[{slot}]", 1.0
+    cls = c["class_id"] if c["class_id"] is not None else "null"
+    yield f"filler[{slot}]={cls}", 1.0
+    # TokenContextTemplate ±2 window over the bounded slices
+    left_raw = content[max(0, onset - CTX_CHARS) : max(onset, 0)]
+    # clamp for evidence-free candidates (onset = offset = -1): the
+    # relational plan's substring(content, offset + 1, CTX) treats pos 0 as
+    # 1 and yields the doc head; Python's negative index would silently
+    # yield '' and fork the two plans' features
+    right_raw = content[max(offset, 0) : max(offset, 0) + CTX_CHARS]
+    lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
+    rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
+    for nm, arr, idx in (
+        ("ctx_l1", lt, 0), ("ctx_l2", lt, 1), ("ctx_l3", lt, 2),
+        ("ctx_r1", rt, 0), ("ctx_r2", rt, 1), ("ctx_r3", rt, 2),
+    ):
+        if idx < len(arr) and arr[idx] != "":
+            yield f"{nm}[{slot}]={arr[idx]}", 1.0
+    # TokenContext combination features
+    for nm, a1, i1, a2, i2 in (
+        ("ctx_l2l1", lt, 1, lt, 0), ("ctx_r1r2", rt, 0, rt, 1), ("ctx_l1r1", lt, 0, rt, 0),
+    ):
+        if i1 < len(a1) and a1[i1] and i2 < len(a2) and a2[i2]:
+            yield f"{nm}[{slot}]={a1[i1]} {a2[i2]}", 1.0
+    # FrequencyTemplate has-max-evidence
+    n_ev = stats["n_ev"][(slot, c["obj_id"])]
+    if n_ev == stats["mx_ev"][slot]:
+        yield f"max_evidence[{slot}]", 1.0
+    # StringSimilarityTemplate bins
+    if c["slot_kind"] == "cls":
+        text, cid = c["text"], c["class_id"]
+        sim = 1.0 - _levenshtein(text.lower(), cid.lower()) / max(len(text), len(cid))
+        for bnd in (0.5, 0.7, 0.9):
+            if sim >= bnd:
+                yield f"strsim>={bnd}[{slot}]", 1.0
+    # ... and the individual-name factor (StringSimilarityTemplate.java:
+    # 109-111) — disambiguates same-span fuzzy link alternatives
+    ind_label = spec["ind_labels"].get(c["individual_id"]) if c["individual_id"] else None
+    if ind_label:
+        text = c["text"]
+        sim_i = 1.0 - _levenshtein(text.lower(), ind_label) / max(len(text), len(ind_label))
+        for bnd in (0.5, 0.7, 0.9):
+            if sim_i >= bnd:
+                yield f"simind>={bnd}[{slot}]={c['individual_id']}", 1.0
+    yield f"n_roots[{slot}]={min(stats['n_roots'], 6)}", 1.0
+    het = "eq1" if stats["n_pairing"][(slot, c["obj_id"])] == 1 else "ne1"
+    yield f"het[{slot}]={het}", 1.0
+    yield f"variety[{slot}]={min(stats['variety'][slot], 5)}", 1.0
+    yield f"pe[{slot}]={min(stats['n_ev_slots'], 6)}", 1.0
+    if c["src"] == "fuzzy":
+        yield f"fuzzy_ev[{slot}]", 1.0
+    depth = spec["class_depth"].get(c["class_id"])
+    if depth is not None:
+        yield f"hier[{slot}]={depth}", 1.0
+    if kb is not None and (slot, c["obj_id"]) in kb:
+        yield f"kb[{slot}]", 1.0
+    # KB datatype mean/stddev stats (KnowledgeBaseTemplate.java:600-669),
+    # identical formulas to features.compute_features
+    if kb_stats and c["dt_value"] is not None and slot in kb_stats:
+        try:
+            v = float(c["dt_value"])
+        except (TypeError, ValueError):
+            v = None
+        if v is not None:
+            import math
+
+            med, dev = kb_stats[slot]
+            delta = abs(v - med)
+            if delta < 1000:
+                yield f"kbstat_dist[{slot}]={int(delta // 10) * 10}", 1.0
+            if dev > 0:
+                band = 0.001 * dev
+                wk = max(int(math.ceil(delta / band)), 1)
+                bk = min(int(math.ceil(delta / band)) - 1, 10)
+                if wk <= 10:
+                    yield f"kbstat_within[{slot}]={wk}", 1.0
+                if bk >= 1:
+                    yield f"kbstat_beyond[{slot}]={bk}", 1.0
+    # BOW over the mention surface
+    bow = [t for t in _NONWORD.split(c["text"].lower()) if t]
+    if bow:
+        w = 1.0 / len(bow)
+        for t in bow:
+            yield f"bow[{slot}]={t}", w
+        # BOWnGramsTemplate word bigrams
+        if len(bow) >= 2:
+            w2 = 1.0 / (len(bow) - 1)
+            for i in range(len(bow) - 1):
+                yield f"bow2[{slot}]={bow[i]} {bow[i + 1]}", w2
+    # char 3-grams over #surface#
+    mt = "#" + c["text"].lower() + "#"
+    if len(mt) >= 3:
+        grams = [mt[i : i + 3] for i in range(len(mt) - 2)]
+    else:
+        grams = [mt[0:3]]
+    w = 1.0 / len(grams)
+    for g in grams:
+        yield f"c3g[{slot}]={g}", w
+
+
+def _root_pair_features(r, c, content, stats):
+    """Root-dependent features of the pair projection: distance bins,
+    discourse-block indicators, root-class cooccurrence, in-between tokens.
+    Identical expressions to features.compute_features (dist/cdist_bin/
+    tokdist_bin/in_block/cooc/ib there)."""
+    slot = c["slot_name"]
+    onset = c["onset"]
     sent_dist = c["sent_idx"] - r["sent_idx"]
     if sent_dist < 0:
         b = "neg"
@@ -460,83 +578,7 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
     if after_root and before_next and nearest:
         yield f"in_block_nearest[{slot}]", 1.0
     cls = c["class_id"] if c["class_id"] is not None else "null"
-    yield f"filler[{slot}]={cls}", 1.0
-    # TokenContextTemplate ±2 window over the bounded slices
-    left_raw = content[max(0, onset - CTX_CHARS) : max(onset, 0)]
-    # clamp for evidence-free candidates (onset = offset = -1): the
-    # relational plan's substring(content, offset + 1, CTX) treats pos 0 as
-    # 1 and yields the doc head; Python's negative index would silently
-    # yield '' and fork the two plans' features
-    right_raw = content[max(offset, 0) : max(offset, 0) + CTX_CHARS]
-    lt = [t for t in reversed(_NONWORD.split(left_raw.lower())) if t]
-    rt = [t for t in _NONWORD.split(right_raw.lower()) if t]
-    for nm, arr, idx in (
-        ("ctx_l1", lt, 0), ("ctx_l2", lt, 1), ("ctx_l3", lt, 2),
-        ("ctx_r1", rt, 0), ("ctx_r2", rt, 1), ("ctx_r3", rt, 2),
-    ):
-        if idx < len(arr) and arr[idx] != "":
-            yield f"{nm}[{slot}]={arr[idx]}", 1.0
-    # TokenContext combination features
-    for nm, a1, i1, a2, i2 in (
-        ("ctx_l2l1", lt, 1, lt, 0), ("ctx_r1r2", rt, 0, rt, 1), ("ctx_l1r1", lt, 0, rt, 0),
-    ):
-        if i1 < len(a1) and a1[i1] and i2 < len(a2) and a2[i2]:
-            yield f"{nm}[{slot}]={a1[i1]} {a2[i2]}", 1.0
-    # FrequencyTemplate has-max-evidence
-    n_ev = stats["n_ev"][(slot, c["obj_id"])]
-    if n_ev == stats["mx_ev"][slot]:
-        yield f"max_evidence[{slot}]", 1.0
-    # StringSimilarityTemplate bins
-    if c["slot_kind"] == "cls":
-        text, cid = c["text"], c["class_id"]
-        sim = 1.0 - _levenshtein(text.lower(), cid.lower()) / max(len(text), len(cid))
-        for bnd in (0.5, 0.7, 0.9):
-            if sim >= bnd:
-                yield f"strsim>={bnd}[{slot}]", 1.0
-    # ... and the individual-name factor (StringSimilarityTemplate.java:
-    # 109-111) — disambiguates same-span fuzzy link alternatives
-    ind_label = spec["ind_labels"].get(c["individual_id"]) if c["individual_id"] else None
-    if ind_label:
-        text = c["text"]
-        sim_i = 1.0 - _levenshtein(text.lower(), ind_label) / max(len(text), len(ind_label))
-        for bnd in (0.5, 0.7, 0.9):
-            if sim_i >= bnd:
-                yield f"simind>={bnd}[{slot}]={c['individual_id']}", 1.0
     yield f"cooc[{r['root_class_id']}+{slot}]={cls}", 1.0
-    yield f"n_roots[{slot}]={min(stats['n_roots'], 6)}", 1.0
-    het = "eq1" if stats["n_pairing"][(slot, c["obj_id"])] == 1 else "ne1"
-    yield f"het[{slot}]={het}", 1.0
-    yield f"variety[{slot}]={min(stats['variety'][slot], 5)}", 1.0
-    yield f"pe[{slot}]={min(stats['n_ev_slots'], 6)}", 1.0
-    if c["src"] == "fuzzy":
-        yield f"fuzzy_ev[{slot}]", 1.0
-    depth = spec["class_depth"].get(c["class_id"])
-    if depth is not None:
-        yield f"hier[{slot}]={depth}", 1.0
-    if kb is not None and (slot, c["obj_id"]) in kb:
-        yield f"kb[{slot}]", 1.0
-    # KB datatype mean/stddev stats (KnowledgeBaseTemplate.java:600-669),
-    # identical formulas to features.compute_features
-    if kb_stats and c["dt_value"] is not None and slot in kb_stats:
-        try:
-            v = float(c["dt_value"])
-        except (TypeError, ValueError):
-            v = None
-        if v is not None:
-            import math
-
-            med, dev = kb_stats[slot]
-            delta = abs(v - med)
-            if delta < 1000:
-                yield f"kbstat_dist[{slot}]={int(delta // 10) * 10}", 1.0
-            if dev > 0:
-                band = 0.001 * dev
-                wk = max(int(math.ceil(delta / band)), 1)
-                bk = min(int(math.ceil(delta / band)) - 1, 10)
-                if wk <= 10:
-                    yield f"kbstat_within[{slot}]={wk}", 1.0
-                if bk >= 1:
-                    yield f"kbstat_beyond[{slot}]={bk}", 1.0
     # in-between tokens (unit total mass)
     gap = onset - r["offset"]
     if after_root and 0 < gap <= IB_MAX_CHARS:
@@ -549,26 +591,6 @@ def _pair_features(r, c, content, stats, spec, kb, kb_stats=None, ds_maps=None):
             yield f"ib_first[{slot}]={ib[0]}", 1.0
             if len(ib) >= 2:
                 yield f"ib_last[{slot}]={ib[-1]}", 1.0
-    # BOW over the mention surface
-    bow = [t for t in _NONWORD.split(c["text"].lower()) if t]
-    if bow:
-        w = 1.0 / len(bow)
-        for t in bow:
-            yield f"bow[{slot}]={t}", w
-        # BOWnGramsTemplate word bigrams
-        if len(bow) >= 2:
-            w2 = 1.0 / (len(bow) - 1)
-            for i in range(len(bow) - 1):
-                yield f"bow2[{slot}]={bow[i]} {bow[i + 1]}", w2
-    # char 3-grams over #surface#
-    mt = "#" + c["text"].lower() + "#"
-    if len(mt) >= 3:
-        grams = [mt[i : i + 3] for i in range(len(mt) - 2)]
-    else:
-        grams = [mt[0:3]]
-    w = 1.0 / len(grams)
-    for g in grams:
-        yield f"c3g[{slot}]={g}", w
 
 
 def _doc_stats(roots, cands):
@@ -607,11 +629,25 @@ def _doc_fill(roots, cands, content, stats, spec, weights, thresholds, kb, kb_st
     (filler.py:40-66). Returns accepted assignment dicts."""
     card = {s["slot_name"]: s["card"] for s in spec["slots"]}
     accepted = []
+    # the candidate-only half of the projection is identical for every
+    # root: score it ONCE per candidate (the heavy features — context
+    # windows, BOW/n-grams, string similarity — all live here), then add
+    # the cheap root-dependent half per pair. Sum order differs from the
+    # single-generator order, which is already immaterial: the relational
+    # plan sums the same features in shuffle order and parity holds.
+    cand_partial = []
+    for c in cands:
+        s = 0.0
+        for f, v in _cand_features(c, content, stats, spec, kb, kb_stats, ds_maps):
+            w = weights.get(f)
+            if w is not None:
+                s += w * v
+        cand_partial.append(s)
     for r in roots:
         per_slot = {}
-        for c in cands:
-            score = 0.0
-            for f, v in _pair_features(r, c, content, stats, spec, kb, kb_stats, ds_maps):
+        for c, s_c in zip(cands, cand_partial):
+            score = s_c
+            for f, v in _root_pair_features(r, c, content, stats):
                 w = weights.get(f)
                 if w is not None:
                     score += w * v

@@ -106,9 +106,13 @@ def linkable_span_band(ontology) -> tuple | None:
 
 
 def compile_patterns(pattern_rows):
-    """Pattern-table rows -> list of (type_id, kind, class_id, is_dt, regex)."""
+    """Pattern-table rows -> list of (type_id, kind, class_id, is_dt, regex,
+    probes). ``probes`` is the guaranteed-literal prefilter from the pattern
+    algebra (functions/patterns.py): a scan can only match if one probe is a
+    substring of the lowered content; () means always scan."""
     return [
-        (r["type_id"], r["kind"], r["class_id"], bool(r["is_datatype"]), re.compile(r["pattern"], FLAGS))
+        (r["type_id"], r["kind"], r["class_id"], bool(r["is_datatype"]),
+         re.compile(r["pattern"], FLAGS), tuple(r.get("probes", ())))
         for r in pattern_rows
     ]
 
@@ -137,8 +141,14 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
     """
     content = content or ""
     bounds = sentence_bounds(content)
+    lowered = content.lower()
     rows, spans = [], []
-    for type_id, kind, class_id, is_dt, pat in compiled:
+    for type_id, kind, class_id, is_dt, pat, probes in compiled:
+        # guaranteed-literal prefilter (functions/patterns.py): skip the
+        # regex scan — the kernel's dominant cost — unless a probe literal
+        # occurs; lossless by construction of the pattern algebra
+        if probes and not any(p in lowered for p in probes):
+            continue
         for m in pat.finditer(content):
             text = m.group(0)
             if len(text) < min_len:
