@@ -19,6 +19,7 @@ interface (pattern rows in, mention rows out) is unchanged.
 
 from __future__ import annotations
 
+import bisect
 import re
 
 import pandas as pd
@@ -147,8 +148,12 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
         # guaranteed-literal prefilter (functions/patterns.py): skip the
         # regex scan — the kernel's dominant cost — unless a probe literal
         # occurs; lossless by construction of the pattern algebra
-        if probes and not any(p in lowered for p in probes):
-            continue
+        if probes:
+            for p in probes:
+                if p in lowered:
+                    break
+            else:
+                continue
         for m in pat.finditer(content):
             text = m.group(0)
             if len(text) < min_len:
@@ -174,6 +179,16 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
     unknowns = []
     if want_unknown:
         spans.sort()
+        # coverage test "any span (s, e) with s <= on and e >= off" via
+        # bisect over starts + prefix-max of ends: O(log n) per window
+        # instead of a linear scan (emit runs per token window, the inner
+        # loop of the span gates)
+        span_starts = [s for s, _ in spans]
+        span_maxend = []
+        _m = -1
+        for _, e in spans:
+            _m = e if e > _m else _m
+            span_maxend.append(_m)
         seen_spans: set[tuple[int, int]] = set()
 
         def emit(on: int, off: int):
@@ -181,7 +196,8 @@ def match_document(content: str, compiled, min_len: int, want_unknown: bool,
                 return  # provably unlinkable length (linkable_span_band)
             if (on, off) in seen_spans:
                 return
-            if any(s <= on and off <= e for s, e in spans):
+            k = bisect.bisect_right(span_starts, on)
+            if k and span_maxend[k - 1] >= off:
                 return  # covered by a detected mention (overlap filter)
             seen_spans.add((on, off))
             unknowns.append(

@@ -34,6 +34,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 THRESHOLD_PREFIX = "__THRESHOLD__"
+# threshold-cut separation guard: scores are float64 sums whose LAST BITS
+# depend on summation order (Spark aggregates in partition order, the fused
+# kernel in code order), so a calibrated cut through TIED scores (midpoint
+# == the tie value) flips `score > th` on ulp-level noise between plans.
+# When the cut gap is below this relative epsilon the threshold is placed
+# eps ABOVE the tie instead, excluding the whole tie group under any
+# summation order — the semantic both paths already implemented for exact
+# ties, now made reorder-proof.
+THRESHOLD_TIE_EPS = 1e-7
 HASHED_PREFIX = "__HASHED__"        # model rows of the feature-hashed trainer
 HASHED_DIM_FEATURE = "__HASHED_DIM__"  # pseudo-row carrying n_buckets
 HASH_N_BUCKETS = 1 << 18
@@ -133,7 +142,11 @@ def train_weights(
         if f1s[best_k - 1] <= 0.0:
             best_th = float(s_desc[0]) + 1.0  # predict nothing
         elif best_k < len(s_desc):
-            best_th = float((s_desc[best_k - 1] + s_desc[best_k]) / 2.0)
+            hi, lo = float(s_desc[best_k - 1]), float(s_desc[best_k])
+            eps = THRESHOLD_TIE_EPS * max(1.0, abs(hi))
+            # midpoint between DISTINCT neighbours; a (near-)tied cut gets
+            # the threshold eps above the tie (see THRESHOLD_TIE_EPS)
+            best_th = (hi + lo) / 2.0 if hi - lo > 2.0 * eps else hi + eps
         else:
             best_th = float(s_desc[-1]) - 1.0  # predict everything
         th_rows.append((f"{THRESHOLD_PREFIX}[{slot}]", best_th))
@@ -282,9 +295,20 @@ def train_weights_distributed(
             "slot_name",
             # mirror train_weights' edge cases: no positive F1 anywhere ->
             # predict nothing (above the max margin); best cut at the end ->
-            # predict everything (below the last margin)
+            # predict everything (below the last margin); (near-)tied cut ->
+            # eps above the tie (see THRESHOLD_TIE_EPS)
             F.when(F.col("f1") <= 0.0, F.col("max_margin") + 1.0)
-            .when(F.col("k") < F.col("n_rows"), (F.col("margin") + F.col("next_margin")) / 2.0)
+            .when(
+                F.col("k") < F.col("n_rows"),
+                F.when(
+                    F.col("margin") - F.col("next_margin")
+                    > 2.0 * THRESHOLD_TIE_EPS * F.greatest(F.lit(1.0), F.abs(F.col("margin"))),
+                    (F.col("margin") + F.col("next_margin")) / 2.0,
+                ).otherwise(
+                    F.col("margin")
+                    + THRESHOLD_TIE_EPS * F.greatest(F.lit(1.0), F.abs(F.col("margin")))
+                ),
+            )
             .otherwise(F.col("margin") - 1.0)
             .alias("threshold"),
         )
