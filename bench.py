@@ -28,10 +28,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash",
+    "dedup_simhash_band",
+    "fuzzy_topk_links",
     "doc_fingerprint",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_topk_bucketed",
+    "ann_topk_ivf",
     "dedup_embedding",
     "pricing_summary",
     "sessionize_events",
