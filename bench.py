@@ -135,15 +135,23 @@ def main() -> None:
     total = 0.0
     triple_count = 0
     scaling_only = os.environ.get("OBIE_SCALING_ONLY") == "1"
+    # min-of-REPS per query: this hypervisor-shared VM sees bursty steal
+    # that moves single-shot wall clocks 1.5-4x (BENCH/BASELINE.md
+    # disclaimer); the min of two runs of an identical plan is the
+    # steady-state number a comparison can trust
+    reps = max(1, int(os.environ.get("OBIE_QUERY_REPS", "2")))
+    cpu_before = _read_cpu_times()
     if not scaling_only:
         for name in HEADLINE:
             fn = Q.QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            total += dt
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total += best
             if name == "triples_kg":
                 triple_count = n
 
@@ -168,6 +176,8 @@ def main() -> None:
         "obie_docs": OBIE_BENCH_DOCS,
         "obie_triples": obie_triples,
         "obie_triples_per_sec": round(obie_triples / extract_s, 2),
+        "query_reps": reps,
+        "steal_pct": _steal_pct(cpu_before, _read_cpu_times()),
     }
     print(json.dumps(out))
 

@@ -440,14 +440,23 @@ SQL_DEDUP_MINHASH_LSH = f"""
 def q_simhash(spark, sf_dir):
     """16-bit SimHash per document: per bit b, the parity of md5-hex char
     b of each token votes +/-1; bit set iff the vote sum is positive.
-    ascii() parity is engine-portable."""
-    t = _tokens(spark, sf_dir).select("doc_id", "token")
-    bits = t.select("doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
-    vote = F.when(F.ascii(F.substring(F.md5("token"), F.col("b") + 1, 1)) % 2 == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(vote).alias("v"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0))).cast("long").alias("simhash")
-    )
+    ascii() parity is engine-portable. Column-wise vote sums (16 aggregate
+    expressions, one doc_id groupBy, map-side partial agg) instead of a
+    16x bit explode — integer sums, so identical to the exploded form the
+    SQL oracle uses."""
+    t = _tokens(spark, sf_dir).select("doc_id", F.md5("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(16)
+    ]
+    per_doc = t.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(float(2 ** b))).otherwise(F.lit(0.0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 SQL_SIMHASH = f"""
@@ -1554,18 +1563,26 @@ SIMHASH_BUCKET_CAP = 200
 def _simhash32(spark, sf_dir):
     """32-bit SimHash per document (same md5-hex-char parity votes as
     q_simhash, chars 1-32). Shares the engine-portable vote definition so
-    the DuckDB oracle reproduces it bit-for-bit."""
-    t = _tokens(spark, sf_dir).select("doc_id", "token")
-    bits = t.select(
-        "doc_id", "token",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_PAIR_BITS - 1))).alias("b"),
-    )
-    vote = F.when(F.ascii(F.substring(F.md5("token"), F.col("b") + 1, 1)) % 2 == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(vote).alias("v"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0)))
-        .cast("long").alias("simhash32")
-    )
+    the DuckDB oracle reproduces it bit-for-bit.
+
+    No bit explode: one md5 per token occurrence and 32 aggregate
+    expressions in a single doc_id groupBy (map-side partial agg, one
+    exchange) instead of a 32x row blow-up feeding two shuffles — the
+    vote sums are integers, so the column-wise form is exactly the
+    exploded form the SQL oracle still uses."""
+    t = _tokens(spark, sf_dir).select("doc_id", F.md5("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(SIMHASH_PAIR_BITS)
+    ]
+    per_doc = t.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_PAIR_BITS):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(float(2 ** b))).otherwise(F.lit(0.0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash32"))
 
 
 def q_dedup_simhash_band(spark, sf_dir):
