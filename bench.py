@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "simhash",
     "dedup_simhash_band",
+    "dedup_substring_spans",
     "fuzzy_topk_links",
     "doc_fingerprint",
     "cosine_topk",

@@ -1861,3 +1861,109 @@ SQL_ANN_TOPK_IVF = f"""
 
 QUERIES["ann_topk_ivf"] = q_ann_topk_ivf
 ORACLES["ann_topk_ivf"] = SQL_ANN_TOPK_IVF
+
+
+# --------------------------------------------- exact substring dedup
+# The training-data primitive from "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al. 2022), relationalized at k-token
+# granularity: a span is flagged when every one of its k-token windows
+# occurs in >= 2 distinct documents; overlapping flagged windows merge
+# into maximal spans (gaps-and-islands). No pair or suffix structure is
+# ever materialized — the gram table is grouped for document frequency
+# and semi-joined back, so a boilerplate gram in 10^9 docs costs one
+# aggregate row, never an array or a self-join. Integer-only logic: the
+# DuckDB oracle is exact.
+
+SUBSTR_K = 5          # window length in tokens (Lee et al. use 50 at web
+                      # scale; the knob does not change the plan)
+SUBSTR_MIN_DF = 2     # distinct docs a window must appear in
+
+
+def _kgrams(spark, sf_dir, k):
+    t = _tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, k)]
+    g = t.select("doc_id", "pos", "token", *leads)
+    return g.filter(F.col(f"_t{k - 1}").isNotNull()).select(
+        "doc_id", "pos",
+        F.concat_ws(" ", "token", *[f"_t{i}" for i in range(1, k)]).alias("gram"),
+    )
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Maximal cross-document repeated token spans (exact-substring dedup
+    candidates): every SUBSTR_K-token window of the span occurs in >=
+    SUBSTR_MIN_DF distinct documents."""
+    g = _kgrams(spark, sf_dir, SUBSTR_K)
+    repeated = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(F.col("df") >= SUBSTR_MIN_DF).select("gram")
+    rep = g.join(repeated, "gram").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = rep.withColumn(
+        "_gap", F.when(F.col("pos") - F.lag("pos").over(w) > SUBSTR_K, 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("_gap").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(SUBSTR_K - 1)).cast("int").alias("span_end"),
+    )
+    toks = _tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("_d"), F.col("pos").alias("_p"), "token"
+    )
+    joined = spans.join(
+        toks,
+        (F.col("_d") == F.col("doc_id"))
+        & (F.col("_p") >= F.col("span_start"))
+        & (F.col("_p") <= F.col("span_end")),
+    )
+    return joined.groupBy("doc_id", "span_start", "span_end").agg(
+        (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "token"))),
+                lambda x: x.token,
+            ),
+        ).alias("span_text"),
+    ).select("doc_id", "span_start", "span_end", "n_tokens", "span_text")
+
+
+SQL_DEDUP_SUBSTRING_SPANS = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  g AS (
+    SELECT doc_id, pos,
+           token || ' ' || {" || ' ' || ".join(f"t{i}" for i in range(1, SUBSTR_K))} AS gram
+    FROM (SELECT doc_id, pos, token,
+                 {", ".join(f"lead(token, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{i}"
+                            for i in range(1, SUBSTR_K))}
+          FROM toks)
+    WHERE t{SUBSTR_K - 1} IS NOT NULL),
+  rep AS (
+    SELECT doc_id, pos FROM g WHERE gram IN (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DF})),
+  isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN pos - lagpos > {SUBSTR_K} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+          FROM rep)),
+  spans AS (
+    SELECT doc_id, island, min(pos) AS span_start,
+           CAST(max(pos) + {SUBSTR_K - 1} AS INT) AS span_end
+    FROM isl GROUP BY doc_id, island)
+  SELECT s.doc_id, s.span_start, s.span_end,
+         CAST(s.span_end - s.span_start + 1 AS INT) AS n_tokens,
+         string_agg(t.token, ' ' ORDER BY t.pos) AS span_text
+  FROM spans s JOIN toks t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  GROUP BY s.doc_id, s.span_start, s.span_end
+"""
+
+
+QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
+ORACLES["dedup_substring_spans"] = SQL_DEDUP_SUBSTRING_SPANS
