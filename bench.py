@@ -105,16 +105,25 @@ def run_obie_extract(spark, n_docs: int, train_docs: int = OBIE_TRAIN_DOCS,
     for _ in range(int(os.environ.get("OBIE_WARM_RUNS", "0"))):
         pipe.predict_fused(inst).count()
 
-    t0 = time.perf_counter()
-    n_triples = pipe.predict_fused(inst).count()
-    fused_s = time.perf_counter() - t0
+    # min-of-reps for the timed passes (same shared-VM noise guard as the
+    # headline loop; scaling mode keeps reps=1 here — it already takes the
+    # min over whole-process repetitions with steal accounting)
+    reps = max(1, int(os.environ.get("OBIE_EXTRACT_REPS", "1")))
+    fused_s = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_triples = pipe.predict_fused(inst).count()
+        dt = time.perf_counter() - t0
+        fused_s = dt if fused_s is None else min(fused_s, dt)
 
     relational_s = None
     if relational_too:
-        t0 = time.perf_counter()
-        pipe.predict(inst)["triples"].count()
-        pipe.release_caches()
-        relational_s = time.perf_counter() - t0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pipe.predict(inst)["triples"].count()
+            pipe.release_caches()
+            dt = time.perf_counter() - t0
+            relational_s = dt if relational_s is None else min(relational_s, dt)
     return n_triples, fused_s, fit_s, relational_s
 
 
@@ -156,6 +165,8 @@ def main() -> None:
             if name == "triples_kg":
                 triple_count = n
 
+    if not scaling_only:
+        os.environ.setdefault("OBIE_EXTRACT_REPS", str(reps))
     obie_triples, extract_s, fit_s, rel_s = run_obie_extract(
         spark, OBIE_BENCH_DOCS, relational_too=not scaling_only
     )
