@@ -1655,8 +1655,18 @@ FUZZY_TOKENS = [
     "colunm", "mrege", "vektor", "queyr", "joines", "battch",
     "tablee", "filteer", "mergee", "columnn", "vectorr", "queery",
 ]
+# the query's dictionary = DICT plus deliberately-confusable surfaces, so
+# ambiguous typos retrieve SEVERAL gated candidates and the oracle pins
+# the full top-k ordering: "windoww" ties window/windows on lev-sim 6/7
+# (broken by gram-jaccard), "sparkk" ties spark/sparky, "streem" ranks
+# stream then streamer — the exploration layer receives all of them and
+# the feature scorer disambiguates (LuceneRetrieval.java:39-40 semantics).
+FUZZY_DICT = DICT + [
+    ("streamer", "Entity"), ("windows", "Dataset"),
+    ("customers", "Entity"), ("sparky", "System"),
+]
 _FUZZY_TOKENS_SQL = ", ".join(f"('{t}')" for t in FUZZY_TOKENS)
-_DICT_TYPED_SQL = ", ".join(f"('{s}', '{t}')" for s, t in DICT)
+_DICT_TYPED_SQL = ", ".join(f"('{s}', '{t}')" for s, t in FUZZY_DICT)
 
 
 def q_fuzzy_topk_links(spark, sf_dir):
@@ -1672,12 +1682,13 @@ def q_fuzzy_topk_links(spark, sf_dir):
 
     onto = SimpleNamespace(
         individuals=pd.DataFrame(
-            {"individual_id": [s for s, _ in DICT], "class_id": [t for _, t in DICT]}
+            {"individual_id": [s for s, _ in FUZZY_DICT],
+             "class_id": [t for _, t in FUZZY_DICT]}
         ),
         dictionary=pd.DataFrame(
             {
-                "type_id": [s for s, _ in DICT],
-                "surface_form": [s for s, _ in DICT],
+                "type_id": [s for s, _ in FUZZY_DICT],
+                "surface_form": [s for s, _ in FUZZY_DICT],
                 "kind": "individual",
             }
         ),

@@ -70,6 +70,14 @@ def test_fuzzy_topk_links_gate_and_ranks(spark):
     # transpositions sit below the 0.7 levenshtein gate in BOTH engines
     for rejected in ["tabel", "fliter", "mrege", "colunm", "vektor", "queyr"]:
         assert rejected not in by_token
+    # ambiguous surfaces retrieve BOTH gated candidates, ordered by the
+    # jaccard tie-break (equal lev-sim): window before windows, spark
+    # before sparky — the exploration layer sees both alternatives
+    for token, first, second in [("windoww", "window", "windows"),
+                                 ("sparkk", "spark", "sparky")]:
+        rs = sorted(by_token[token], key=lambda r: r.rank)
+        assert [r.type_id for r in rs[:2]] == [first, second]
+        assert rs[0].lev_sim == rs[1].lev_sim
     # ranks are contiguous from 1 and capped at top-5
     for token, rs in by_token.items():
         ranks = sorted(r.rank for r in rs)
