@@ -1759,78 +1759,41 @@ IVF_MAX_QID = 20  # query slice, same as cosine_topk for recall comparison
 
 
 def _ivf_assign(spark, sf_dir):
-    """(vec_id, cid, cos_c): every vector's nearest centroid by cosine,
-    plus the per-(vector, centroid) cosine for the probe step."""
+    """(vec_id, cid, cos_c): every vector's cosine to every centroid —
+    whole-array zip_with/aggregate cosine (JVM-side, ONE row per
+    (vector, centroid), no dimension explode), centroids broadcast."""
+    from .operators.ivf import _cos_expr
+
     e = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    cent = (
-        e.filter(F.col("vec_id") < IVF_K)
-        .select(F.col("vec_id").alias("cid"), "d", F.col("v").alias("cv"))
+    cent = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cnorm = cent.groupBy("cid").agg(F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm"))
-    dot = (
-        e.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
-    )
-    return (
-        dot.join(norm, "vec_id")
-        .join(F.broadcast(cnorm), "cid")
-        .withColumn("cos_c", F.col("dot") / (F.col("norm") * F.col("cnorm")))
-        .select("vec_id", "cid", "cos_c")
+    return e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos_expr("v", "cv").alias("cos_c")
     )
 
 
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF top-3 ANN: nearest-centroid inverted lists, NPROBE-list probe
-    per query, exact cosine on probed candidates only. At scale: the
-    codebook is broadcast (assignment is one map stage), lists are
-    partitioned by cid, and the probe join shuffles only (query x NPROBE)
-    rows — never the corpus."""
-    ac = _ivf_assign(spark, sf_dir)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc(F.round("cos_c", 6)), F.asc("cid"))
-    lists = (
-        ac.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cid")
+    per query, exact cosine on probed candidates only — the production
+    operator (operators/ivf.ivf_topk) with the codebook pinned to the
+    first IVF_K corpus vectors so the DuckDB oracle sees identical
+    centroids. At scale: the codebook is broadcast (assignment is one map
+    stage), lists are partitioned by cid, and the probe join shuffles only
+    (query x NPROBE) rows — never the corpus."""
+    from .operators.ivf import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    codebook = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
     )
-    probes = (
-        ac.filter(F.col("vec_id") < IVF_MAX_QID)
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("qid"), "cid")
+    qids = e.filter(F.col("vec_id") < IVF_MAX_QID).select(
+        F.col("vec_id").alias("qid")
     )
-    cand = (
-        probes.join(lists.withColumnRenamed("vec_id", "nid"), "cid")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
-    )
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
-    )
-    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    qa = e.select(F.col("vec_id").alias("qid"), "d", F.col("v").alias("va"))
-    nb = e.select(F.col("vec_id").alias("nid"), "d", F.col("v").alias("vb"))
-    dot = (
-        cand.join(qa, "qid")
-        .join(nb, ["nid", "d"])
-        .groupBy("qid", "nid")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    cos = (
-        dot.join(norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("norm_a")), "qid")
-        .join(norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("norm_b")), "nid")
-        .withColumn("cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
-    )
-    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("qid", "nid", "rank", F.round("cos", 4).alias("cos"))
-    )
+    return ivf_topk(e, codebook, qids, k=3, nprobe=IVF_NPROBE)
 
 
 SQL_ANN_TOPK_IVF = f"""
