@@ -665,27 +665,25 @@ def _emb(spark, sf_dir):
 
 
 def _emb_pairs_cosine(spark, sf_dir, query_filter=None):
-    """All-pairs cosine via posexplode + equi-join on the dimension index —
-    the brute-force baseline. At scale, the same plan runs per LSH bucket
-    (q_ann_lsh_buckets) instead of all-pairs."""
+    """All-pairs cosine — the brute-force baseline, whole-array zip_with/
+    aggregate cosine with the (bounded) query side broadcast: one row per
+    pair, no dimension explode. At scale, the same plan runs per LSH
+    bucket (q_ann_lsh_buckets) or per IVF probe list instead of
+    all-pairs; corpus-wide callers must bound the query side."""
+    from .operators.ivf import _cos_expr
+
     e = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    norm = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    a = e.withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "va")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"))
     if query_filter is not None:
         a = a.filter(query_filter(F.col("qid")))
-    b = e.withColumnRenamed("vec_id", "nid").withColumnRenamed("v", "vb")
-    dot = (
-        a.join(b, "d")
+    b = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
         .filter(F.col("qid") != F.col("nid"))
-        .groupBy("qid", "nid")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    na = norm.select(F.col("vec_id").alias("qid"), F.col("norm").alias("norm_a"))
-    nb = norm.select(F.col("vec_id").alias("nid"), F.col("norm").alias("norm_b"))
-    return dot.join(na, "qid").join(nb, "nid").withColumn(
-        "cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+        .select("qid", "nid", _cos_expr("va", "vb").alias("cos"))
     )
 
 
