@@ -8,8 +8,11 @@ Spark ML KMeans over a bounded corpus SAMPLE (the offline "train" step
 every real IVF index runs; constant-cost, like the OBIE model fit), and
 the serving plan is unchanged:
 
-* assignment — one map-side stage, codebook broadcast (centroid count is
-  ~sqrt(N), always broadcast-able);
+* assignment — one map-side stage, codebook broadcast (fine up to ~10^5
+  centroids / a few hundred MB; past that — e.g. K ~ sqrt(N) at 10^12
+  vectors — production systems go two-level (coarse codebook to shard,
+  fine codebook per shard, IMI-style), which composes from this same
+  operator applied per shard);
 * inverted lists — partitioned by centroid id;
 * query probe — joins only (queries x nprobe) rows against the lists,
   never the corpus; exact cosine runs on probed candidates alone.
