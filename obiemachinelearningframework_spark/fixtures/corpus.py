@@ -25,7 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from .ontology import HONOURS, Ontology, disease_ontology, player_pool, soccer_ontology
+from .ontology import HONOURS, Ontology, code_ontology, disease_ontology, player_pool, soccer_ontology
 
 _LANGS = ["java", "py", "md", "txt"]
 _LANG_PREFIX = {"java": "// ", "py": "# ", "md": "", "txt": ""}
@@ -269,12 +269,143 @@ def _gen_disease_doc(rng: np.random.RandomState, onto: Ontology, doc_key: str, p
     return doc.text(), nodes, triples
 
 
+def release_skolem(version: str, year: str) -> str:
+    """Stable blank-node id for auxiliary Release instances (same scheme as
+    honour_skolem: derived purely from slot content). Child values appear
+    in SLOT-NAME sort order (release_year < version), matching
+    operators/candidates.aux_skolem_cols."""
+    return f"release::{year}::{version}"
+
+
+def _gen_code_doc(rng: np.random.RandomState, onto: Ontology, doc_key: str, prefix: str):
+    from .ontology import _PARADIGMS, module_pool
+
+    nodes, triples = [], []
+    doc = _Doc(prefix)
+    pool = module_pool()
+    libs = onto.individuals[onto.individuals.class_id == "Library"]
+    lib_ids = libs.individual_id.tolist()
+    lib_labels = dict(zip(libs.individual_id, libs.label))
+    calls = onto.individuals[onto.individuals.class_id == "ApiCall"]
+    call_ids = calls.individual_id.tolist()
+    call_labels = dict(zip(calls.individual_id, calls.label))
+    paradigm_surface = {c: surfaces[0] for c, surfaces in _PARADIGMS.items()}
+
+    n_modules = int(rng.choice([1, 1, 2, 2, 3]))
+    picks = rng.choice(len(pool), size=n_modules, replace=False)
+    node_seq = [0]
+
+    def new_node():
+        node_seq[0] += 1
+        return node_seq[0]
+
+    if prefix:
+        doc.line("=== auto-generated module manifest ===")
+
+    for ann_id, mi in enumerate(picks):
+        module_id, module_name = pool[int(mi)]
+        root_node = new_node()
+
+        def mention(onset, text, nid=None, parent=None, slot=None, cls=None, ind=None, dt=None):
+            nodes.append((doc_key, ann_id, nid, parent, slot, cls, ind, dt, text, onset))
+
+        # root intro + imports
+        n_imports = int(rng.choice([1, 1, 1, 2]))
+        my_libs = [lib_ids[i] for i in rng.choice(len(lib_ids), size=n_imports, replace=False)]
+        parts = [(module_name, lambda o, t: mention(o, t, nid=root_node, parent=None, slot=None,
+                                                    cls="Module", ind=module_id)),
+                 " imports "]
+        for j, lid in enumerate(my_libs):
+            if j:
+                parts.append(" and ")
+            lnode = new_node()
+            parts.append((lib_labels[lid],
+                          lambda o, t, lid=lid, ln=lnode: mention(o, t, nid=ln, parent=root_node,
+                                                                  slot="imports", cls="Library", ind=lid)))
+            triples.append((doc_key, module_id, "imports", lid))
+        parts.append(".")
+        doc.line(*parts)
+
+        # paradigm (class-valued slot with siblings)
+        if rng.rand() < 0.92:
+            par_cls = str(rng.choice(list(paradigm_surface)))
+            pnode = new_node()
+            doc.line(
+                "The codebase follows an ",
+                (paradigm_surface[par_cls], lambda o, t: mention(o, t, nid=pnode, parent=root_node,
+                                                                 slot="paradigm", cls=par_cls)),
+                " throughout.",
+            )
+            triples.append((doc_key, module_id, "paradigm", par_cls))
+
+        # line count (datatype anchored by the "lines" lookahead)
+        if rng.rand() < 0.92:
+            loc = str(int(rng.randint(40, 5000)))
+            lnode2 = new_node()
+            doc.line(
+                module_name,  # co-reference mention (not a gold node)
+                " spans ",
+                (loc, lambda o, t: mention(o, t, nid=lnode2, parent=root_node, slot="loc",
+                                           cls="LineCount", dt=loc)),
+                " lines.",
+            )
+            triples.append((doc_key, module_id, "loc", loc))
+
+        # api calls (second individual-valued list slot)
+        for _ in range(int(rng.choice([0, 1, 1, 2]))):
+            cid = call_ids[int(rng.randint(0, len(call_ids)))]
+            if any(t == (doc_key, module_id, "calls", cid) for t in triples):
+                continue
+            cnode = new_node()
+            doc.line(
+                "It calls ",
+                (call_labels[cid], lambda o, t, cid=cid, cn=cnode: mention(
+                    o, t, nid=cn, parent=root_node, slot="calls", cls="ApiCall", ind=cid)),
+                " on the hot path.",
+            )
+            triples.append((doc_key, module_id, "calls", cid))
+
+        # releases (auxiliary class with two datatype slots)
+        for _ in range(int(rng.choice([0, 0, 1, 1, 2]))):
+            version = f"v{int(rng.randint(0, 9))}.{int(rng.randint(0, 20))}"
+            ryear = str(1990 + int(rng.randint(0, 35)))
+            skolem = release_skolem(version, ryear)
+            aux = new_node()
+            nodes.append((doc_key, ann_id, aux, root_node, "releases", "Release", None, None, None, None))
+            vnode, ynode = new_node(), new_node()
+            doc.line(
+                "In ",
+                (ryear, lambda o, t: mention(o, t, nid=ynode, parent=aux, slot="release_year",
+                                             cls="ReleaseYear", dt=ryear)),
+                ", release ",
+                (version, lambda o, t: mention(o, t, nid=vnode, parent=aux, slot="version",
+                                               cls="Version", dt=version)),
+                " shipped.",
+            )
+            triples.append((doc_key, module_id, "releases", skolem))
+            triples.append((doc_key, skolem, "version", version))
+            triples.append((doc_key, skolem, "release_year", ryear))
+
+        # distractor sentence (library not imported by this module)
+        if rng.rand() < 0.5:
+            others = [l for l in lib_ids if l not in my_libs]
+            dlib = others[int(rng.randint(0, len(others)))]
+            doc.line(f"A deprecation notice involving {lib_labels[dlib]} was later reverted.")
+
+    return doc.text(), nodes, triples
+
+
 def generate_corpus(domain: str = "soccer", n_docs: int = 200, seed: int = 42) -> dict:
     """Returns dict of pandas frames: source, gold_nodes, gold_triples,
     source_sha, splits. Fully deterministic in (domain, n_docs, seed)."""
     rng = np.random.RandomState(seed)
-    onto = soccer_ontology() if domain == "soccer" else disease_ontology()
-    gen = _gen_soccer_doc if domain == "soccer" else _gen_disease_doc
+    makers = {
+        "soccer": (soccer_ontology, _gen_soccer_doc),
+        "disease": (disease_ontology, _gen_disease_doc),
+        "code": (code_ontology, _gen_code_doc),
+    }
+    onto_fn, gen = makers[domain]
+    onto = onto_fn()
 
     n_repos = 20
     repos = [f"org{i % 5}/proj{i}" for i in range(n_repos)]

@@ -274,3 +274,122 @@ def disease_ontology() -> Ontology:
         root_class_id="Treatment",
         slot_order=["compound", "dosage", "duration", "frequency"],
     )
+
+
+# --------------------------------------------------------------- code domain
+
+_LIBRARIES = [
+    "numerix", "tablo", "gridflow", "vectra", "parsely", "logwood",
+    "fastpath", "memoir", "quartzdb", "streamlet", "plotnine2", "crypta",
+    "netherd", "tasker", "schemix", "bytecask", "lexware", "graphene2",
+    "textura", "cachet", "formix", "signet", "tracerly", "bundlr",
+]
+
+_API_CALLS = [
+    "loadframe", "fitmodel", "writesink", "parseargs", "mapreduce",
+    "tokenize", "serialize", "hashjoin", "broadcast", "checkpoint",
+    "repartition", "aggregate", "visualize", "normalize", "interpolate",
+    "deduplicate",
+]
+
+_PARADIGMS = {
+    "Functional": ["functional style", "pure functional design"],
+    "ObjectOriented": ["object oriented design", "class based architecture"],
+    "Procedural": ["procedural layout", "imperative structure"],
+}
+
+_MODULE_A = [
+    "auth", "data", "query", "index", "batch", "sync", "cache", "proto",
+    "metric", "config", "deploy", "worker", "router", "ledger", "signal",
+    "vault", "audit", "beacon", "mesh", "relay",
+]
+_MODULE_B = [
+    "core", "engine", "kit", "hub", "flow", "base", "works", "forge",
+    "layer", "gate", "link", "pilot", "stack", "unit", "nest", "dock",
+    "spine", "grid", "pulse", "frame",
+]
+
+
+def module_pool() -> list:
+    """60 deterministic (module_id, name) pairs shared across docs — the
+    same module documented in many repos drives cross-doc canonicalization,
+    exactly like player_pool."""
+    pool = []
+    for i in range(60):
+        a = _MODULE_A[i % len(_MODULE_A)]
+        b = _MODULE_B[(i * 7 + i // len(_MODULE_A)) % len(_MODULE_B)]
+        name = f"{a.capitalize()}{b}"
+        pool.append((f"mod_{name.lower()}", name))
+    assert len({p[0] for p in pool}) == len(pool)
+    return pool
+
+
+def code_ontology() -> Ontology:
+    """Domain C — code-entity extraction, the north rule's native payload:
+    one Module root per documented code unit with individual-valued list
+    slots (imports -> Library, calls -> ApiCall), a class-valued slot with
+    siblings (paradigm), a datatype slot (loc), and an auxiliary Release
+    annotation with two datatype slots (version, release_year) — the same
+    structural shapes the reference's SoccerPlayer example exercises
+    (/root/reference/README.md:15-19), over source-code vocabulary."""
+    classes = [
+        ("Module", None, False, False, 0),
+        ("Library", None, False, False, 0),
+        ("ApiCall", None, False, False, 0),
+        ("Paradigm", None, False, False, 0),
+        *[(p, "Paradigm", False, False, 1) for p in _PARADIGMS],
+        ("LineCount", None, True, False, 0),
+        ("Release", None, False, True, 0),    # auxiliary: no individuals
+        ("Version", None, True, False, 0),
+        ("ReleaseYear", None, True, False, 0),
+    ]
+    classes_df = pd.DataFrame(
+        classes, columns=["class_id", "parent_class_id", "is_datatype", "is_auxiliary", "level"]
+    )
+    slots = [
+        ("Module", "imports", "Library", True, False, 3),
+        ("Module", "paradigm", "Paradigm", False, False, 1),
+        ("Module", "loc", "LineCount", False, True, 1),
+        ("Module", "calls", "ApiCall", True, False, 3),
+        ("Module", "releases", "Release", True, False, 3),
+        ("Release", "version", "Version", False, True, 1),
+        ("Release", "release_year", "ReleaseYear", False, True, 1),
+    ]
+    slots_df = pd.DataFrame(
+        slots,
+        columns=["owner_class_id", "slot_name", "range_class_id", "is_list", "is_datatype", "max_cardinality"],
+    )
+    individuals = [(f"lib_{c}", "Library", c) for c in _LIBRARIES]
+    individuals += [(f"call_{c}", "ApiCall", c) for c in _API_CALLS]
+    individuals += [(mid, "Module", name) for mid, name in module_pool()]
+    individuals_df = pd.DataFrame(individuals, columns=["individual_id", "class_id", "label"])
+
+    dictionary = []
+    for c in _LIBRARIES:
+        dictionary.append((f"lib_{c}", "individual", c))
+    for c in _API_CALLS:
+        dictionary.append((f"call_{c}", "individual", c))
+    for mid, name in module_pool():
+        dictionary.append((mid, "individual", name.lower()))
+    for cls, surfaces in _PARADIGMS.items():
+        for s in surfaces:
+            dictionary.append((cls, "class", s))
+    dictionary_df = pd.DataFrame(dictionary, columns=["type_id", "kind", "surface_form"])
+
+    parents = {row[0]: row[1] for row in classes}
+    datatype_patterns = {
+        "LineCount": [r"(?<!\d)(\d{2,4})(?= lines\b)"],
+        "Version": [r"(?<![\w.])v\d+\.\d+(?:\.\d+)?(?![\w.])"],
+        "ReleaseYear": [r"(?<!\d)(19[5-9]\d|20[0-2]\d)(?!\d)"],
+    }
+    return Ontology(
+        name="code",
+        datatype_patterns=datatype_patterns,
+        classes=classes_df,
+        slots=slots_df,
+        individuals=individuals_df,
+        dictionary=dictionary_df,
+        closure=_closure(parents),
+        root_class_id="Module",
+        slot_order=["imports", "paradigm", "loc", "calls", "releases"],
+    )
