@@ -42,6 +42,7 @@ HEADLINE = [
     "token_count_bpe",
     "multimodal_image_stats",
     "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

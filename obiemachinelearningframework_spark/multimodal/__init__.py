@@ -5,8 +5,16 @@ from .assets import (
     synthesize_assets,
     assets_from_documents,
     audio_assets_from_documents,
+    video_assets_from_documents,
 )
-from .decode import decode_images, resize_images, image_features, frame_sample, audio_features
+from .decode import (
+    decode_images,
+    resize_images,
+    image_features,
+    frame_sample,
+    frame_features,
+    audio_features,
+)
 
 __all__ = [
     "RAW_IMAGE_MAGIC",
@@ -18,5 +26,7 @@ __all__ = [
     "resize_images",
     "image_features",
     "frame_sample",
+    "frame_features",
     "audio_features",
+    "video_assets_from_documents",
 ]

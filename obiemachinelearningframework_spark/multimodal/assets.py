@@ -100,6 +100,18 @@ def encode_md5_audio(asset_id: int, sample_rate: int = 8000, n: int = 400) -> by
     return RAW_AUDIO_MAGIC + struct.pack("<ii", sample_rate, n) + md5_bytes("a", asset_id, 2 * n)
 
 
+def encode_md5_video(asset_id: int, w: int = 8, h: int = 8, n_frames: int = 12) -> bytes:
+    """RAW grayscale video whose frames are the md5-derived byte stream
+    (stream key 'v<asset_id>:<blk>', frame i = bytes [i*w*h, (i+1)*w*h)) —
+    SQL-recomputable like encode_md5_image, so frame-sampled brightness
+    stats are oracle-able (queries.q_multimodal_video_frames)."""
+    return (
+        RAW_VIDEO_MAGIC
+        + struct.pack("<iii", w, h, n_frames)
+        + md5_bytes("v", asset_id, w * h * n_frames)
+    )
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -173,6 +185,31 @@ def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
                     "meta": [
                         {"width": 16, "height": 12, "channels": 3, "sample_rate": None,
                          "n_samples": None, "n_frames": None, "codec": "raw-img"}
+                    ] * len(rows),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def video_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Video twin of assets_from_documents: one md5-frame RAW video per
+    document (stream key 'v', independent of the image/audio streams), so
+    the frame-sample decode path is also DuckDB-verifiable."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(int(i), bytearray(encode_md5_video(int(i)))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": ["video"] * len(rows),
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {"width": 8, "height": 8, "channels": 1,
+                         "sample_rate": None, "n_samples": None, "n_frames": 12,
+                         "codec": "raw-vid"}
                     ] * len(rows),
                 }
             )

@@ -207,6 +207,33 @@ def frame_sample(assets: DataFrame, every_k: int = 4) -> DataFrame:
     return assets.filter("kind = 'video'").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("brightness", DoubleType()),
+    ]
+)
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Sampled frame -> brightness (mean pixel value). Keyed by
+    (asset_id, frame_idx) so per-frame stats survive downstream joins —
+    image_features would collapse the frame dimension."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "brightness": []}
+            for aid, idx, buf in zip(pdf["asset_id"], pdf["frame_idx"], pdf["pixels"]):
+                px = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(idx)
+                out["brightness"].append(round(float(px.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+
+
 # ------------------------------------------------------------------ audio ops
 
 AUDIO_FEATURE_SCHEMA = StructType(

@@ -658,6 +658,55 @@ QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = SQL_MULTIMODAL_AUDIO_STATS
 
 
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video twin of the image/audio decode paths, oracle-verified
+    end-to-end: derive a deterministic RAW video per document (12 frames
+    of 8x8 grayscale, pixels = md5('v<asset_id>:<blk>') byte stream),
+    sample every 4th frame through the one-to-many frame_sample
+    mapInPandas stage, extract per-frame brightness, aggregate per
+    (16-bucket asset_id band, frame_idx). The DuckDB oracle recomputes
+    the same sampled-frame brightness from md5 hex digits."""
+    from .multimodal import video_assets_from_documents, frame_sample, frame_features
+
+    assets = video_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = frame_features(frame_sample(assets, every_k=4))
+    return (
+        feats.groupBy(
+            (F.col("asset_id") % 16).alias("band"), F.col("frame_idx")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
+# brightness of sampled frame i of an md5-frame video = mean of payload
+# bytes [64*i, 64*i+64); byte k is hex pair (k % 16) of
+# md5('v<asset_id>:<k // 16>'); sampled frames are idx 0, 4, 8 of 12
+SQL_MULTIMODAL_VIDEO_FRAMES = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  blocks AS (SELECT asset_id, unnest(range(0, 48)) AS blk FROM ids),
+  hx AS (SELECT asset_id, blk,
+                md5('v' || CAST(asset_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)) AS h
+         FROM blocks),
+  bytes AS (SELECT asset_id, blk * 16 + i AS k,
+                   (strpos('0123456789abcdef', substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+            FROM (SELECT asset_id, blk, h, unnest(range(0, 16)) AS i FROM hx)),
+  frames AS (SELECT asset_id, CAST(floor(k / 64) AS INT) AS frame_idx,
+                    round(avg(CAST(v AS DOUBLE)), 6) AS brightness
+             FROM bytes GROUP BY asset_id, CAST(floor(k / 64) AS INT)),
+  sampled AS (SELECT * FROM frames WHERE frame_idx % 4 = 0)
+  SELECT asset_id % 16 AS band, frame_idx, count(*) AS n,
+         round(avg(brightness), 4) AS avg_brightness
+  FROM sampled GROUP BY band, frame_idx
+"""
+
+QUERIES["multimodal_video_frames"] = q_multimodal_video_frames
+ORACLES["multimodal_video_frames"] = SQL_MULTIMODAL_VIDEO_FRAMES
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):

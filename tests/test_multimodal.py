@@ -8,6 +8,7 @@ from obiemachinelearningframework_spark.multimodal import (
     assets_from_documents,
     audio_features,
     decode_images,
+    frame_features,
     frame_sample,
     image_features,
     resize_images,
@@ -101,6 +102,29 @@ def test_unimplemented_codec_raises_clearly(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|jpeg"):
         decode_images(bad).collect()
+
+
+def test_frame_features_match_numpy(assets):
+    feats = frame_features(frame_sample(assets, every_k=4))
+    r = next(x for x in feats.collect() if x.asset_id == 2 and x.frame_idx == 4)
+    from obiemachinelearningframework_spark.multimodal.assets import encode_raw_video
+    from obiemachinelearningframework_spark.multimodal.decode import _decode_raw_video
+
+    frames = _decode_raw_video(encode_raw_video(2, 7))
+    assert r.brightness == pytest.approx(frames[4].astype(np.float64).mean(), abs=1e-5)
+
+
+def test_video_assets_from_documents(spark):
+    from obiemachinelearningframework_spark.multimodal import video_assets_from_documents
+    from obiemachinelearningframework_spark.multimodal.assets import encode_md5_video
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = video_assets_from_documents(docs, seed=7)
+    assert a.count() == docs.count()
+    r = a.filter("asset_id = 1").collect()[0]
+    # payloads are md5-frame videos (oracle-recomputable brightness)
+    assert bytes(r.payload) == encode_md5_video(1)
+    assert r.meta["n_frames"] == 12 and r.meta["codec"] == "raw-vid"
 
 
 def test_assets_from_documents(spark):
