@@ -40,6 +40,9 @@ HEADLINE = [
     "pricing_summary",
     "sessionize_events",
     "token_count_bpe",
+    "sample_stratified",
+    "quality_repetition",
+    "quality_perplexity",
     "multimodal_image_stats",
     "multimodal_audio_stats",
     "multimodal_video_frames",

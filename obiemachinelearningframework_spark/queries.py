@@ -1988,3 +1988,199 @@ SQL_DEDUP_SUBSTRING_SPANS = f"""
 
 QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
 ORACLES["dedup_substring_spans"] = SQL_DEDUP_SUBSTRING_SPANS
+
+
+# ------------------------------------------- corpus sampling / quality gates
+
+# per-language target keep rates: downsample the dominant language,
+# keep the rarest in full (the standard rebalancing step before training)
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: keep a document iff
+    u(doc_id) < rate(lang), where u is a uniform [0,1) value derived from
+    md5('s' || doc_id) — reproducible across engines, runs, and cluster
+    sizes (unlike rand()-based df.sample). One map-only scan, zero
+    shuffles: at 100 TB this is the cheapest possible pass, and the same
+    predicate works as a pushed filter on any hash-stable source column."""
+    rate = F.create_map(
+        *[F.lit(x) for kv in sorted(SAMPLE_RATES.items()) for x in kv]
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .withColumn("u", F.round(u, 6))
+        .filter(F.col("u") < rate[F.col("lang")])
+    )
+
+
+_SAMPLE_RATES_SQL = ", ".join(f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items()))
+
+SQL_SAMPLE_STRATIFIED = f"""
+  WITH h AS (SELECT doc_id, lang,
+                    md5('s' || CAST(doc_id AS VARCHAR)) AS hh
+             FROM documents),
+  u AS (SELECT doc_id, lang, round((
+            (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) / 65536.0, 6) AS u
+        FROM h),
+  rates(lang, rate) AS (VALUES {_SAMPLE_RATES_SQL})
+  SELECT u.doc_id, u.lang, u.u
+  FROM u JOIN rates r ON u.lang = r.lang
+  WHERE u.u < r.rate
+"""
+
+QUERIES["sample_stratified"] = q_sample_stratified
+ORACLES["sample_stratified"] = SQL_SAMPLE_STRATIFIED
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Repetition-ratio quality signals (the Gopher-style filters): for
+    each document, the duplicate-token fraction, the most-frequent-token
+    fraction, and the duplicate-bigram fraction. Everything is a doc_id-
+    keyed aggregation with map-side partial combine — no corpus-wide
+    state, so the plan is the same at 100 TB. Bigrams derive array-side
+    (zip_with over the token array, whole-stage codegen) instead of a
+    corpus-wide lead() window — no sort, no window exchange."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("arr")
+    )
+    # one (doc_id, token) aggregation feeds n_tok / n_distinct / max_tf —
+    # a single shuffle branch instead of separate count + countDistinct + max
+    base = (
+        docs.select("doc_id", F.explode("arr").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+            F.max("tf").alias("max_tf"),
+        )
+    )
+    big = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(zip_with(arr, slice(arr, 2, size(arr)),"
+                    " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.countDistinct("bigram").alias("n_big_distinct"),
+        )
+    )
+    return (
+        base.join(big, "doc_id")
+        .select(
+            "doc_id",
+            F.round(1 - F.col("n_distinct") / F.col("n_tok"), 6).alias("dup_token_frac"),
+            F.round(F.col("max_tf") / F.col("n_tok"), 6).alias("top_token_frac"),
+            F.round(1 - F.col("n_big_distinct") / F.col("n_big"), 6).alias("dup_bigram_frac"),
+        )
+    )
+
+
+SQL_QUALITY_REPETITION = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  base AS (SELECT doc_id, count(*) AS n_tok,
+                  count(DISTINCT token) AS n_distinct
+           FROM toks GROUP BY doc_id),
+  top AS (SELECT doc_id, max(tf) AS max_tf
+          FROM (SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token)
+          GROUP BY doc_id),
+  big AS (SELECT doc_id, count(*) AS n_big,
+                 count(DISTINCT bigram) AS n_big_distinct
+          FROM (SELECT doc_id, token || ' ' ||
+                       lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+                FROM toks)
+          WHERE bigram IS NOT NULL GROUP BY doc_id)
+  SELECT base.doc_id,
+         round(1 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_token_frac,
+         round(CAST(max_tf AS DOUBLE) / n_tok, 6) AS top_token_frac,
+         round(1 - CAST(n_big_distinct AS DOUBLE) / n_big, 6) AS dup_bigram_frac
+  FROM base JOIN top ON base.doc_id = top.doc_id
+            JOIN big ON base.doc_id = big.doc_id
+"""
+
+QUERIES["quality_repetition"] = q_quality_repetition
+ORACLES["quality_repetition"] = SQL_QUALITY_REPETITION
+
+
+def q_quality_perplexity(spark, sf_dir):
+    """Model-based quality scoring: train an add-1-smoothed bigram LM on
+    the corpus itself, score each document by its average negative log
+    probability (low = fluent/typical, high = garbled — the KenLM-filter
+    pattern). p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). The LM tables are
+    vocabulary-sized aggregates joined back on their keys — co-partitioned
+    shuffles only; V rides along as a 1-row broadcast, never a driver
+    collect. Bigrams derive array-side (zip_with, whole-stage codegen), so
+    re-deriving the probe side per join branch costs a scan, not a
+    corpus-wide window sort."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("arr")
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(arr, slice(arr, 2, size(arr)),"
+                " (a, b) -> IF(b IS NULL, NULL, struct(a AS token, b AS nxt))),"
+                " s -> s IS NOT NULL)"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.token", "bg.nxt")
+    tok = docs.select("doc_id", F.explode("arr").alias("token"))
+    c12 = big.groupBy("token", "nxt").agg(F.count("*").alias("c12"))
+    # c(w1) rolls up from the bigram counts — no second pass over big
+    c1 = c12.groupBy("token").agg(F.sum("c12").alias("c1"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    nll = (
+        big.join(c12, ["token", "nxt"])
+        .join(c1, "token")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+SQL_QUALITY_PERPLEXITY = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  big AS (SELECT doc_id, token, nxt
+          FROM (SELECT doc_id, token,
+                       lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                FROM toks)
+          WHERE nxt IS NOT NULL),
+  c12 AS (SELECT token, nxt, count(*) AS c12 FROM big GROUP BY token, nxt),
+  c1 AS (SELECT token, count(*) AS c1 FROM big GROUP BY token),
+  vocab AS (SELECT count(DISTINCT token) AS v FROM toks)
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((c12 + 1.0) / (c1 + v)))::DOUBLE, 6) AS avg_nll
+  FROM big b
+  JOIN c12 ON b.token = c12.token AND b.nxt = c12.nxt
+  JOIN c1 ON b.token = c1.token
+  CROSS JOIN vocab
+  GROUP BY b.doc_id
+"""
+
+QUERIES["quality_perplexity"] = q_quality_perplexity
+ORACLES["quality_perplexity"] = SQL_QUALITY_PERPLEXITY
