@@ -24,6 +24,8 @@ HEADLINE = [
     "mentions_dict",
     "high_frequency",
     "triples_kg",
+    "kg_degree",
+    "kg_pagerank",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -2184,3 +2184,146 @@ SQL_QUALITY_PERPLEXITY = f"""
 
 QUERIES["quality_perplexity"] = q_quality_perplexity
 ORACLES["quality_perplexity"] = SQL_QUALITY_PERPLEXITY
+
+
+# ------------------------------------------------------------ KG analytics
+
+def q_kg_degree(spark, sf_dir):
+    """Degree statistics of the materialized KG — the first quality review
+    anyone runs on extracted triples: per node, out/in degree and the
+    number of distinct predicates on each side. Two keyed aggregations and
+    a full outer join; every shuffle is on the node key, so the plan is
+    scale-invariant (hot entities are single keys — the same skew the
+    salted triple sink handles at write time shows up here as AQE
+    skew-join territory)."""
+    t = q_triples_kg(spark, sf_dir)
+    out_d = t.groupBy(F.col("subj").alias("node")).agg(
+        F.count("*").alias("out_deg"),
+        F.countDistinct("pred").alias("out_preds"),
+    )
+    in_d = t.groupBy(F.col("obj").alias("node")).agg(
+        F.count("*").alias("in_deg"),
+        F.countDistinct("pred").alias("in_preds"),
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_preds", F.lit(0)).alias("out_preds"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_preds", F.lit(0)).alias("in_preds"),
+        )
+    )
+
+
+SQL_KG_DEGREE = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  o AS (SELECT subj AS node, count(*) AS out_deg,
+               count(DISTINCT pred) AS out_preds
+        FROM triples GROUP BY subj),
+  i AS (SELECT obj AS node, count(*) AS in_deg,
+               count(DISTINCT pred) AS in_preds
+        FROM triples GROUP BY obj)
+  SELECT coalesce(o.node, i.node) AS node,
+         coalesce(out_deg, 0) AS out_deg, coalesce(out_preds, 0) AS out_preds,
+         coalesce(in_deg, 0) AS in_deg, coalesce(in_preds, 0) AS in_preds
+  FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+QUERIES["kg_degree"] = q_kg_degree
+ORACLES["kg_degree"] = SQL_KG_DEGREE
+
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the materialized KG (damping 0.85, 3 iterations,
+    simplified dangling handling: leaked mass is not redistributed —
+    identical on both engines). Each iteration is one co-partitioned join
+    (edges ⋈ ranks on the source key) plus one keyed aggregation; the node
+    count rides as a 1-row broadcast. At scale this is the standard
+    iterative-join PageRank — iterations are bounded and the rank table
+    stays node-sized, so lineage is shallow enough to skip checkpointing
+    at 3 rounds (canonicalize.py shows the localCheckpoint pattern where
+    rounds are data-dependent)."""
+    t = q_triples_kg(spark, sf_dir)
+    # the three tables every iteration re-reads are materialized once
+    # (edge-/node-sized) so the unrolled plan scans them instead of
+    # re-deriving the extraction subtree per branch — the same
+    # localCheckpoint lineage cut the CC operator uses (canonicalize.py)
+    edges = t.select("subj", "obj").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .union(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    outd = edges.groupBy("subj").agg(F.count("*").alias("outd")).localCheckpoint()
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(outd, "subj")
+            .join(
+                pr.select(F.col("node").alias("subj"), F.col("pr").alias("spr")),
+                "subj",
+            )
+            .groupBy(F.col("obj").alias("node"))
+            .agg(F.sum(F.col("spr") / F.col("outd")).alias("c"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    (1 - PAGERANK_D) / F.col("n")
+                    + PAGERANK_D * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT subj, obj FROM triples),
+  nodes AS (SELECT subj AS node FROM edges UNION SELECT obj FROM edges),
+  nn AS (SELECT count(*) AS n FROM nodes),
+  outd AS (SELECT subj, count(*) AS outd FROM edges GROUP BY subj),
+  pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+  c{k} AS (SELECT e.obj AS node, sum(p.pr / o.outd) AS c
+           FROM edges e JOIN outd o ON e.subj = o.subj
+                        JOIN pr{k - 1} p ON p.node = e.subj
+           GROUP BY e.obj),
+  pr{k} AS (SELECT nodes.node,
+                   (1 - {PAGERANK_D}) / nn.n
+                 + {PAGERANK_D} * coalesce(c{k}.c, 0) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON nodes.node = c{k}.node)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\n  SELECT node, round(pr, 6) AS pagerank FROM pr{PAGERANK_ITERS}"
+    )
+
+
+SQL_KG_PAGERANK = _pagerank_sql()
+
+QUERIES["kg_pagerank"] = q_kg_pagerank
+ORACLES["kg_pagerank"] = SQL_KG_PAGERANK
