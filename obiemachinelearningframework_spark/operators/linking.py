@@ -125,6 +125,34 @@ def apply_link_map(unknown_tokens: DataFrame, link_map: DataFrame) -> DataFrame:
     )
 
 
+def link_map_auto(unknown_tokens: DataFrame, ontology, spark,
+                  top_k: int = TOP_K) -> DataFrame:
+    """``build_link_map`` behind the fused kernel's driver gate: both sides
+    of the fuzzy-retrieval scoring are vocabulary-sized, so vocabularies up
+    to LINK_MAP_DRIVER_MAX score as pure-python ``py_link_map``
+    (microseconds — replaces a ~6-stage similarity-join mini-job whose
+    fixed per-action costs dominate at small scale), while larger
+    vocabularies run the distributed join. Identical thresholds, tie-breaks
+    and top-k on both sides (asserted equal in tests/test_fused_parity.py
+    and tests/test_linking.py); the take() probe is hard-bounded, so no
+    collect here scales with the corpus vocabulary."""
+    from .fused import LINK_MAP_DRIVER_MAX, py_link_map
+
+    vocab = unknown_tokens.select(F.lower("text").alias("token")).distinct()
+    head = vocab.take(LINK_MAP_DRIVER_MAX + 1)
+    if len(head) > LINK_MAP_DRIVER_MAX:
+        return build_link_map(unknown_tokens, ontology, spark, top_k)
+    pl = py_link_map([r["token"] for r in head], ontology, top_k=top_k)
+    rows = [
+        (tok, tid, cid, rank)
+        for tok, links in sorted(pl.items())
+        for rank, (tid, cid) in enumerate(links, 1)
+    ]
+    return spark.createDataFrame(
+        rows, schema="token string, type_id string, class_id string, rank int"
+    )
+
+
 def fuzzy_link_tokens(unknown_tokens: DataFrame, ontology, spark,
                       top_k: int = TOP_K) -> DataFrame:
     """unknown_tokens -> linked mentions (same schema as detect_mentions

@@ -99,7 +99,7 @@ class OBIEPipeline:
         if not self.fuzzy_linking:
             base = detect_mentions(instances, self.ontology, self.min_ner_length)
             return base.repartition(n, "doc_key"), []
-        from ..operators.linking import apply_link_map, build_link_map
+        from ..operators.linking import apply_link_map, link_map_auto
 
         # one kernel pass emits detected mentions AND uncovered capitalized
         # tokens; cached so the link-map sub-job does not re-run the regex
@@ -110,7 +110,7 @@ class OBIEPipeline:
         unknown = raw.filter(F.col("kind") == UNKNOWN_KIND).select(
             "doc_key", "text", "onset", "offset", "sent_idx"
         )
-        links = build_link_map(unknown, self.ontology, self.spark)
+        links = link_map_auto(unknown, self.ontology, self.spark)
         linked = apply_link_map(unknown, links)
         base = raw.filter(F.col("kind") != UNKNOWN_KIND).unionByName(linked)
         return base.repartition(n, "doc_key").dropDuplicates(dedup_keys), [raw]

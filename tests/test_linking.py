@@ -88,3 +88,23 @@ def test_fused_link_map_covers_multi_token_spans(spark):
     assert any(" " in v for v in vocab)
     lm = py_link_map(vocab, ont)
     assert lm["jonaz vargo"][0][0] == "player_jonas_varga"
+
+
+def test_link_map_auto_matches_distributed(spark):
+    """The driver-gated fast path must emit exactly the distributed join's
+    (token, type_id, class_id, rank) rows on a real fixture vocabulary."""
+    from obiemachinelearningframework_spark.operators.linking import (
+        build_link_map,
+        link_map_auto,
+    )
+
+    c = generate_corpus("disease", n_docs=60, seed=42)
+    inst = prepare_instances(spark.createDataFrame(c["source"]))
+    mentions = detect_mentions(inst, c["ontology"])
+    unknown = unknown_capitalized_tokens(inst, mentions)
+    cols = ["token", "type_id", "class_id", "rank"]
+    fast = link_map_auto(unknown, c["ontology"], spark)
+    assert "lev_sim" not in fast.columns  # proves the driver path was taken
+    a = sorted(map(tuple, fast.select(cols).collect()))
+    b = sorted(map(tuple, build_link_map(unknown, c["ontology"], spark).select(cols).collect()))
+    assert a == b and len(a) > 0
