@@ -2327,3 +2327,50 @@ SQL_KG_PAGERANK = _pagerank_sql()
 
 QUERIES["kg_pagerank"] = q_kg_pagerank
 ORACLES["kg_pagerank"] = SQL_KG_PAGERANK
+
+
+SKEW_ROWS_PER_BUCKET = 1000  # target rows per (pred, salt) write task
+
+
+def q_skew_profile(spark, sf_dir):
+    """Hot-key profile of the triple table's predicate column — the
+    planning input for the salted partitioned sink (operators/triples.py:
+    predicate frequency is Zipfian, so the writer salts hot predicates).
+    Per predicate: row count, share of the table, frequency rank, and the
+    salt-bucket count that keeps write tasks near SKEW_ROWS_PER_BUCKET
+    rows. One keyed aggregation + a 1-row broadcast total — the profile
+    itself never shuffles the corpus twice."""
+    t = q_triples_kg(spark, sf_dir)
+    per = t.groupBy("pred").agg(F.count("*").alias("n"))
+    total = per.agg(F.sum("n").alias("tot"))
+    w = W.orderBy(F.desc("n"), F.asc("pred"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("tot"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "salt_buckets",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n") / F.lit(SKEW_ROWS_PER_BUCKET))
+            ).cast("int"),
+        )
+        .select("pred", "n", "share", "rank", "salt_buckets")
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  per AS (SELECT pred, count(*) AS n FROM triples GROUP BY pred),
+  tot AS (SELECT sum(n) AS tot FROM per)
+  SELECT pred, n, round(CAST(n AS DOUBLE) / tot, 6) AS share,
+         CAST(row_number() OVER (ORDER BY n DESC, pred ASC) AS INT) AS rank,
+         CAST(greatest(1, ceil(CAST(n AS DOUBLE) / {SKEW_ROWS_PER_BUCKET})) AS INT) AS salt_buckets
+  FROM per CROSS JOIN tot
+"""
+
+QUERIES["skew_profile"] = q_skew_profile
+ORACLES["skew_profile"] = SQL_SKEW_PROFILE
