@@ -33,6 +33,7 @@ HEADLINE = [
     "simhash",
     "dedup_simhash_band",
     "dedup_substring_spans",
+    "decontaminate",
     "fuzzy_topk_links",
     "doc_fingerprint",
     "cosine_topk",

@@ -2374,3 +2374,59 @@ SQL_SKEW_PROFILE = f"""
 
 QUERIES["skew_profile"] = q_skew_profile
 ORACLES["skew_profile"] = SQL_SKEW_PROFILE
+
+
+# benchmark snippets to decontaminate against (inline so both engines see
+# identical inputs; in production this is a small benchmark table)
+DECON_SNIPPETS = [
+    ("s1", "the fast key order sort"),
+    ("s2", "spark group query row data"),
+    ("s3", "join a filter window row"),
+]
+
+
+def _snippet_shingles():
+    out = []
+    for sid, text in DECON_SNIPPETS:
+        toks = text.split(" ")
+        for i in range(len(toks) - SHINGLE_K + 1):
+            out.append((sid, " ".join(toks[i : i + SHINGLE_K])))
+    return out
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any k-token
+    shingle with a benchmark snippet set (the eval-leak filter every
+    training pipeline runs before a data release). The corpus side is the
+    existing shingle derivation; the benchmark side is tiny and broadcast,
+    so the plan is one map-side hash join + a (doc, snippet) keyed
+    aggregation — corpus scanned once, nothing corpus-sized shuffles on
+    the snippet key."""
+    sh = _shingles(spark, sf_dir)
+    snips = spark.createDataFrame(
+        _snippet_shingles(), ["snippet_id", "shingle"]
+    )
+    return (
+        sh.join(F.broadcast(snips), "shingle")
+        .groupBy("doc_id", "snippet_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+
+
+_SNIPPET_SHINGLES_SQL = ", ".join(
+    f"('{sid}', '{sh}')" for sid, sh in _snippet_shingles()
+)
+
+SQL_DECONTAMINATE = f"""
+  WITH sh AS ({_SHINGLES_SQL}),
+  snips(snippet_id, shingle) AS (VALUES {_SNIPPET_SHINGLES_SQL})
+  SELECT doc_id, snippet_id, count(*) AS n_hits, min(pos) AS first_pos
+  FROM sh JOIN snips USING (shingle)
+  GROUP BY doc_id, snippet_id
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = SQL_DECONTAMINATE
