@@ -26,6 +26,7 @@ HEADLINE = [
     "triples_kg",
     "kg_degree",
     "kg_pagerank",
+    "kg_pmi",
     "skew_profile",
     "dedup_exact",
     "dedup_minhash_lsh",

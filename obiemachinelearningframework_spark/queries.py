@@ -2430,3 +2430,58 @@ SQL_DECONTAMINATE = f"""
 
 QUERIES["decontaminate"] = q_decontaminate
 ORACLES["decontaminate"] = SQL_DECONTAMINATE
+
+
+def q_kg_pmi(spark, sf_dir):
+    """Entity-pair pointwise mutual information over document
+    co-occurrence — the relation-discovery signal behind CooccurrenceTemplate
+    (templates/CooccurrenceTemplate.java): pmi(a,b) =
+    ln(N * df(a,b) / (df(a) * df(b))). The per-doc distinct entity set is
+    dictionary-bounded, so the pair self-join is O(k^2) per document with
+    small k — never corpus x corpus; document frequencies are one keyed
+    aggregation each and N rides as a 1-row broadcast."""
+    m = q_mentions_dict(spark, sf_dir).select("doc_id", "token").distinct()
+    n_docs = _docs(spark, sf_dir).agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tok = m.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    a = m.select("doc_id", F.col("token").alias("tok_a"))
+    b = m.select("doc_id", F.col("token").alias("tok_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("co_docs"))
+    )
+    return (
+        co.join(F.broadcast(df_tok.withColumnRenamed("token", "tok_a")
+                            .withColumnRenamed("df", "df_a")), "tok_a")
+        .join(F.broadcast(df_tok.withColumnRenamed("token", "tok_b")
+                          .withColumnRenamed("df", "df_b")), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a", "tok_b", "co_docs",
+            F.round(
+                F.log(F.col("n_docs") * F.col("co_docs")
+                      / (F.col("df_a") * F.col("df_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_KG_PMI = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  m AS (SELECT DISTINCT doc_id, token FROM toks JOIN dict ON token = surface),
+  nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+  dfp AS (SELECT token, count(DISTINCT doc_id) AS df FROM m GROUP BY token),
+  co AS (SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS co_docs
+         FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+         GROUP BY a.token, b.token)
+  SELECT tok_a, tok_b, co_docs,
+         round(ln(CAST(n_docs * co_docs AS DOUBLE) / (da.df * db.df)), 6) AS pmi
+  FROM co JOIN dfp da ON da.token = tok_a
+          JOIN dfp db ON db.token = tok_b
+          CROSS JOIN nd
+"""
+
+QUERIES["kg_pmi"] = q_kg_pmi
+ORACLES["kg_pmi"] = SQL_KG_PMI
