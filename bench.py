@@ -27,6 +27,8 @@ HEADLINE = [
     "kg_degree",
     "kg_pagerank",
     "kg_pmi",
+    "kg_entity_overlap",
+    "kg_triangles",
     "skew_profile",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -48,6 +50,7 @@ HEADLINE = [
     "sample_stratified",
     "quality_repetition",
     "quality_perplexity",
+    "doc_tfidf_topk",
     "multimodal_image_stats",
     "multimodal_audio_stats",
     "multimodal_video_frames",

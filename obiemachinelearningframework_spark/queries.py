@@ -2485,3 +2485,201 @@ SQL_KG_PMI = f"""
 
 QUERIES["kg_pmi"] = q_kg_pmi
 ORACLES["kg_pmi"] = SQL_KG_PMI
+
+
+# entities present in more than this many documents are hubs: they connect
+# O(df^2) document pairs, so the overlap candidate generator excludes them
+# (same reasoning as SHINGLE_DF_CAP for the jaccard verifier)
+ENTITY_DF_CAP = 50
+
+
+def q_kg_entity_overlap(spark, sf_dir):
+    """Document-pair candidates by shared entities — the KG-side analog of
+    shingle-based dedup candidate generation: two documents that mention
+    the same RARE entity are candidates for the same real-world subject.
+    Entity surfaces are unigram dictionary mentions plus bigram compounds
+    (two adjacent dictionary tokens, e.g. 'hash join'), the usual Zipf
+    split: unigrams are hubs, compounds sit in the tail. Hub entities
+    (df > ENTITY_DF_CAP, an ABSOLUTE cap) are excluded BEFORE the pair
+    self-join, because a hub connects O(df^2) pairs and would dominate the
+    shuffle at corpus scale; what survives bounds each join key's output
+    at C(ENTITY_DF_CAP, 2). One keyed aggregation for df, the cap filter,
+    then the entity-keyed pair join — no corpus x corpus anywhere."""
+    t = q_mentions_dict(spark, sf_dir).select("doc_id", "pos", "token")
+    nxt = t.select(
+        "doc_id",
+        (F.col("pos") - 1).alias("pos"),
+        F.col("token").alias("tok_next"),
+    )
+    bi = t.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.concat_ws(" ", "token", "tok_next").alias("ent")
+    )
+    # the mention table feeds three branches (df agg + both pair sides) —
+    # cut lineage so tokenize+join runs once (kg_pagerank pattern)
+    m = (
+        t.select("doc_id", F.col("token").alias("ent"))
+        .unionAll(bi)
+        .distinct()
+        .localCheckpoint()
+    )
+    dfe = m.groupBy("ent").agg(F.count("*").alias("df"))
+    mk = m.join(dfe.filter(F.col("df") <= ENTITY_DF_CAP), "ent", "left_semi")
+    a = mk.select(F.col("doc_id").alias("doc_a"), "ent")
+    b = mk.select(F.col("doc_id").alias("doc_b"), "ent")
+    return (
+        a.join(b, "ent")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("ent").alias("first_entity"),
+        )
+    )
+
+
+SQL_KG_ENTITY_OVERLAP = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  dt AS (SELECT doc_id, pos, token FROM toks
+         WHERE token IN (SELECT surface FROM dict)),
+  bi AS (SELECT a.doc_id, a.token || ' ' || b.token AS ent
+         FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+  m AS (SELECT DISTINCT doc_id, ent
+        FROM (SELECT doc_id, token AS ent FROM dt UNION ALL
+              SELECT doc_id, ent FROM bi)),
+  mk AS (SELECT doc_id, ent FROM m WHERE ent IN
+         (SELECT ent FROM m GROUP BY ent
+          HAVING count(*) <= {ENTITY_DF_CAP}))
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared, min(a.ent) AS first_entity
+  FROM mk a JOIN mk b ON a.ent = b.ent AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+"""
+
+QUERIES["kg_entity_overlap"] = q_kg_entity_overlap
+ORACLES["kg_entity_overlap"] = SQL_KG_ENTITY_OVERLAP
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Triangle enumeration over the entity co-occurrence graph (edge =
+    two entities sharing a document) — the density signal behind relation
+    clustering. Spark side runs the degree-ORIENTED algorithm: every edge
+    points from its lower-(degree, name) endpoint to the higher, so each
+    wedge is generated exactly once at its lowest-rank vertex and the
+    closing-edge join key is never a hub — the standard trick that turns
+    O(sum deg^2) into O(m^1.5) and removes the hot-vertex skew a plain
+    a<b<c self-join has at scale. Output is the canonical sorted triple,
+    so the oracle can use the naive lexicographic join and compare
+    exactly."""
+    m = q_mentions_dict(spark, sf_dir).select("doc_id", "token").distinct()
+    a = m.select("doc_id", F.col("token").alias("u"))
+    b = m.select("doc_id", F.col("token").alias("v"))
+    # edges feed five plan branches (two degree sides, orientation, both
+    # wedge legs, the closing join) — cut lineage once so the co-occurrence
+    # subtree is computed once, not five times (kg_pagerank pattern)
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by the (deg, name) total order — struct comparison, so no
+    # global rank window is needed; dictionary-bounded node table
+    # broadcasts (at open-vocabulary scale: two node-keyed joins)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    u_first = F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    eo = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_t"),
+        )
+    )
+    e1 = eo.select(F.col("s").alias("p"), F.col("t").alias("x"), F.col("deg_t").alias("deg_x"))
+    e2 = eo.select(F.col("s").alias("p"), F.col("t").alias("y"), F.col("deg_t").alias("deg_y"))
+    wedges = e1.join(e2, "p").filter(
+        F.struct("deg_x", "x") < F.struct("deg_y", "y")
+    )
+    closing = eo.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select(
+        F.array_sort(F.array("p", "x", "y")).alias("t3")
+    )
+    return tri.select(
+        F.col("t3")[0].alias("na"), F.col("t3")[1].alias("nb"), F.col("t3")[2].alias("nc")
+    )
+
+
+SQL_KG_TRIANGLES = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  m AS (SELECT DISTINCT doc_id, token FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT a.token AS u, b.token AS v
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token)
+  SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+QUERIES["kg_triangles"] = q_kg_triangles
+ORACLES["kg_triangles"] = SQL_KG_TRIANGLES
+
+
+TFIDF_TOPK = 3
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-{TFIDF_TOPK} TF-IDF terms per document — the standard keyword /
+    topic-signal extraction stage of a text pipeline. Two keyed
+    aggregations (per-doc term frequency; corpus document frequency), the
+    corpus size as a 1-row broadcast, one vocabulary-keyed join (hot terms
+    are single keys — AQE skew territory, never a blowup), and a per-doc
+    window for the top-k. Ranking uses the 6-dp-rounded score with a term
+    tie-break, so the cut is reproducible across engines and runs."""
+    t = _tokens(spark, sf_dir).filter(~F.col("token").isin(STOPWORDS))
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfv = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = _docs(spark, sf_dir).agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfv, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+SQL_DOC_TFIDF_TOPK = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         WHERE token NOT IN ({_STOP_SQL}) GROUP BY doc_id, token),
+  dfv AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+  nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+  scored AS (SELECT doc_id, tf.token, tf, df,
+                    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             FROM tf JOIN dfv ON tf.token = dfv.token CROSS JOIN nd)
+  SELECT doc_id, token, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {TFIDF_TOPK}
+"""
+
+QUERIES["doc_tfidf_topk"] = q_doc_tfidf_topk
+ORACLES["doc_tfidf_topk"] = SQL_DOC_TFIDF_TOPK
