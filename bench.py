@@ -43,7 +43,9 @@ HEADLINE = [
     "ann_lsh_buckets",
     "ann_topk_bucketed",
     "ann_topk_ivf",
+    "ann_recall_report",
     "dedup_embedding",
+    "dedup_cluster_sizes",
     "pricing_summary",
     "sessionize_events",
     "token_count_bpe",

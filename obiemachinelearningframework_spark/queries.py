@@ -2683,3 +2683,95 @@ SQL_DOC_TFIDF_TOPK = f"""
 
 QUERIES["doc_tfidf_topk"] = q_doc_tfidf_topk
 ORACLES["doc_tfidf_topk"] = SQL_DOC_TFIDF_TOPK
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-duplicate cluster-size histogram — the acceptance report for a
+    dedup run (how much of the corpus collapses, and into how many
+    clusters of what size). Two keyed aggregations over the
+    connected-components labeling; at corpus scale both shuffles carry one
+    row per clustered document, then one row per cluster — always smaller
+    than the input."""
+    comp = q_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+  SELECT size, count(*) AS n_components FROM (
+    SELECT component, count(*) AS size FROM (
+      {SQL_CONNECTED_COMPONENTS}
+    ) cc GROUP BY component
+  ) s GROUP BY size
+"""
+
+QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+ORACLES["dedup_cluster_sizes"] = SQL_DEDUP_CLUSTER_SIZES
+
+
+ANN_RECALL_K = 3
+ANN_RECALL_MAX_QID = 20  # the brute-force side is only ever run on a
+                         # bounded probe slice (same bound as cosine_topk)
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@k of the bucketed ANN against the exact brute-force ranking,
+    per probe query — the quality gauge every ANN deployment monitors
+    (tests/test_ann_bucketed.py pins it on clustered data; this makes the
+    measurement itself a first-class, oracle-verified operator). The exact
+    side is O(slice x N) on a BOUNDED probe set; the ANN side is the
+    production bucketed kernel; the comparison is a (qid, nid)-keyed left
+    join plus one per-qid aggregation."""
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_RECALL_K)
+        .select("qid", "nid")
+    )
+    approx = (
+        q_ann_topk_bucketed(spark, sf_dir)
+        .filter(F.col("qid") < ANN_RECALL_MAX_QID)
+        .select("qid", "nid", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+    )
+
+
+SQL_ANN_RECALL_REPORT = f"""
+  WITH {_ANN_BUCKETED_COS_SQL.strip()},
+  xdot AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+    FROM e a JOIN e b ON a.d = b.d AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {ANN_RECALL_MAX_QID}
+    GROUP BY a.vec_id, b.vec_id),
+  xcos AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM xdot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid),
+  xtop AS (
+    SELECT qid, nid FROM (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(cos, 6) DESC, nid ASC) AS rank
+      FROM xcos) r WHERE rank <= {ANN_RECALL_K}),
+  atop AS (
+    SELECT qid, nid FROM (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(cos, 6) DESC, nid ASC) AS rank
+      FROM cosp) r WHERE rank <= {ANN_RECALL_K} AND qid < {ANN_RECALL_MAX_QID})
+  SELECT xtop.qid, count(*) AS n_exact, count(atop.nid) AS n_hit,
+         round(CAST(count(atop.nid) AS DOUBLE) / count(*), 6) AS recall
+  FROM xtop LEFT JOIN atop ON xtop.qid = atop.qid AND xtop.nid = atop.nid
+  GROUP BY xtop.qid
+"""
+
+QUERIES["ann_recall_report"] = q_ann_recall_report
+ORACLES["ann_recall_report"] = SQL_ANN_RECALL_REPORT
