@@ -29,6 +29,8 @@ HEADLINE = [
     "kg_pmi",
     "kg_entity_overlap",
     "kg_triangles",
+    "kg_cardinality_conflicts",
+    "kg_type_violations",
     "skew_profile",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -2775,3 +2775,103 @@ SQL_ANN_RECALL_REPORT = f"""
 
 QUERIES["ann_recall_report"] = q_ann_recall_report
 ORACLES["ann_recall_report"] = SQL_ANN_RECALL_REPORT
+
+
+# per-predicate max distinct-object cardinality for the KG consistency
+# check — the KG-level form of the reference's slot cardinality caps
+# (interfaces/IOBIEThing cardinality annotations; operators/filler.py:63
+# enforces them during slot filling). Predicates absent here are
+# unconstrained (cardinality = many).
+KG_PRED_MAX_CARD = [("mentions_System", 1), ("mentions_Entity", 2)]
+
+_KG_PRED_MAX_CARD_SQL = ", ".join(f"('{p}', {c})" for p, c in KG_PRED_MAX_CARD)
+
+
+def q_kg_cardinality_conflicts(spark, sf_dir):
+    """KB consistency check: subjects whose (subj, pred) group exceeds the
+    predicate's declared max cardinality — the post-hoc form of the slot
+    cardinality cap the filler enforces during extraction (a functional
+    predicate with 2+ distinct objects is the classic KB conflict). One
+    keyed aggregation + a broadcast join against the tiny constraint
+    table; emits the violating groups with their distinct-object count and
+    the lexicographically-first conflicting pair as evidence."""
+    t = q_triples_kg(spark, sf_dir)
+    card = spark.createDataFrame(KG_PRED_MAX_CARD, ["pred", "max_card"])
+    g = (
+        t.join(F.broadcast(card), "pred")
+        .groupBy("subj", "pred", "max_card")
+        .agg(
+            F.countDistinct("obj").alias("n_values"),
+            F.array_sort(F.collect_set("obj")).alias("vals"),
+        )
+        .filter(F.col("n_values") > F.col("max_card"))
+    )
+    return g.select(
+        "subj", "pred", "max_card", "n_values",
+        F.col("vals")[0].alias("val_a"), F.col("vals")[1].alias("val_b"),
+    )
+
+
+SQL_KG_CARDINALITY_CONFLICTS = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  card(pred, max_card) AS (VALUES {_KG_PRED_MAX_CARD_SQL}),
+  g AS (SELECT subj, t.pred, max_card,
+               count(DISTINCT obj) AS n_values,
+               list_sort(list(DISTINCT obj)) AS vals
+        FROM triples t JOIN card ON t.pred = card.pred
+        GROUP BY subj, t.pred, max_card)
+  SELECT subj, pred, max_card, n_values, vals[1] AS val_a, vals[2] AS val_b
+  FROM g WHERE n_values > max_card
+"""
+
+QUERIES["kg_cardinality_conflicts"] = q_kg_cardinality_conflicts
+ORACLES["kg_cardinality_conflicts"] = SQL_KG_CARDINALITY_CONFLICTS
+
+
+def q_kg_type_violations(spark, sf_dir):
+    """Ontology range validation of a NOISY extraction: triples derived
+    from the perturbed prediction dictionary (PRED_DICT — the same noisy
+    channel the evaluator queries use) checked against the clean ontology
+    (DICT): a violation is an (obj, pred) whose claimed type differs from
+    the ontology's type for that surface. Exactly the domain/range check a
+    KG ingest runs before committing a batch; one broadcast join against
+    the ontology + one keyed aggregation."""
+    t = _tokens(spark, sf_dir)
+    pred_dict = spark.createDataFrame(PRED_DICT, ["surface", "claimed_type"])
+    onto = _dict_df(spark).withColumnRenamed("type_id", "expected_type")
+    claimed = t.join(F.broadcast(pred_dict), t.token == pred_dict.surface).select(
+        "doc_id", "token", "claimed_type"
+    )
+    return (
+        claimed.join(F.broadcast(onto), claimed.token == onto.surface, "left")
+        .filter(
+            F.col("expected_type").isNull()
+            | (F.col("claimed_type") != F.col("expected_type"))
+        )
+        .groupBy("token", "claimed_type", "expected_type")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_KG_TYPE_VIOLATIONS = f"""
+  WITH onto(surface, expected_type) AS (VALUES {_DICT_VALUES_SQL}),
+  pred(surface, claimed_type) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  claimed AS (SELECT doc_id, token, claimed_type
+              FROM toks JOIN pred ON token = pred.surface)
+  SELECT token, claimed_type, expected_type,
+         count(*) AS n_triples, count(DISTINCT doc_id) AS n_docs
+  FROM claimed LEFT JOIN onto ON claimed.token = onto.surface
+  WHERE expected_type IS NULL OR claimed_type <> expected_type
+  GROUP BY token, claimed_type, expected_type
+"""
+
+QUERIES["kg_type_violations"] = q_kg_type_violations
+ORACLES["kg_type_violations"] = SQL_KG_TYPE_VIOLATIONS
