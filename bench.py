@@ -31,6 +31,7 @@ HEADLINE = [
     "kg_triangles",
     "kg_cardinality_conflicts",
     "kg_type_violations",
+    "kg_snapshot_diff",
     "skew_profile",
     "dedup_exact",
     "dedup_minhash_lsh",

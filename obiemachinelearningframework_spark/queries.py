@@ -2571,52 +2571,13 @@ def q_kg_triangles(spark, sf_dir):
     a<b<c self-join has at scale. Output is the canonical sorted triple,
     so the oracle can use the naive lexicographic join and compare
     exactly."""
+    from .operators.graph import triangles
+
     m = q_mentions_dict(spark, sf_dir).select("doc_id", "token").distinct()
     a = m.select("doc_id", F.col("token").alias("u"))
     b = m.select("doc_id", F.col("token").alias("v"))
-    # edges feed five plan branches (two degree sides, orientation, both
-    # wedge legs, the closing join) — cut lineage once so the co-occurrence
-    # subtree is computed once, not five times (kg_pagerank pattern)
-    edges = (
-        a.join(b, "doc_id")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    # orient by the (deg, name) total order — struct comparison, so no
-    # global rank window is needed; dictionary-bounded node table
-    # broadcasts (at open-vocabulary scale: two node-keyed joins)
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    u_first = F.struct("deg_u", "u") < F.struct("deg_v", "v")
-    eo = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_t"),
-        )
-    )
-    e1 = eo.select(F.col("s").alias("p"), F.col("t").alias("x"), F.col("deg_t").alias("deg_x"))
-    e2 = eo.select(F.col("s").alias("p"), F.col("t").alias("y"), F.col("deg_t").alias("deg_y"))
-    wedges = e1.join(e2, "p").filter(
-        F.struct("deg_x", "x") < F.struct("deg_y", "y")
-    )
-    closing = eo.select(F.col("s").alias("x"), F.col("t").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select(
-        F.array_sort(F.array("p", "x", "y")).alias("t3")
-    )
-    return tri.select(
-        F.col("t3")[0].alias("na"), F.col("t3")[1].alias("nb"), F.col("t3")[2].alias("nc")
-    )
+    edges = a.join(b, "doc_id").filter(F.col("u") < F.col("v")).select("u", "v")
+    return triangles(edges)
 
 
 SQL_KG_TRIANGLES = f"""
@@ -2875,3 +2836,64 @@ SQL_KG_TYPE_VIOLATIONS = f"""
 
 QUERIES["kg_type_violations"] = q_kg_type_violations
 ORACLES["kg_type_violations"] = SQL_KG_TYPE_VIOLATIONS
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two extraction runs over the same corpus —
+    the incremental-maintenance step of a production KG (Iceberg MERGE
+    semantics: unchanged rows are kept, disappeared triples retracted,
+    new ones added; sources/catalog.py holds the manifest/commit side of
+    this contract). Base channel = the clean dictionary; live channel =
+    the perturbed prediction dictionary (PRED_DICT, the same noisy channel
+    the evaluator queries use). One full-outer join on the triple key —
+    both sides shuffle on (subj, pred, obj), so the plan is
+    scale-invariant and AQE handles any hot-predicate skew."""
+    base = q_triples_kg(spark, sf_dir)
+    t = _tokens(spark, sf_dir)
+    pred_dict = spark.createDataFrame(PRED_DICT, ["surface", "type_id"])
+    live = (
+        t.join(F.broadcast(pred_dict), t.token == pred_dict.surface)
+        .select(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        )
+        .distinct()
+    )
+    b = base.withColumn("in_base", F.lit(1))
+    l = live.withColumn("in_live", F.lit(1))
+    return (
+        b.join(l, ["subj", "pred", "obj"], "full")
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("in_base").isNotNull() & F.col("in_live").isNotNull(),
+                   F.lit("unchanged"))
+            .when(F.col("in_base").isNotNull(), F.lit("retracted"))
+            .otherwise(F.lit("added"))
+            .alias("status"),
+        )
+    )
+
+
+SQL_KG_SNAPSHOT_DIFF = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  pdict(surface, type_id) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  base AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                  'mentions_' || type_id AS pred, token AS obj
+           FROM toks JOIN dict ON token = surface),
+  live AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                  'mentions_' || type_id AS pred, token AS obj
+           FROM toks JOIN pdict ON token = surface)
+  SELECT coalesce(base.subj, live.subj) AS subj,
+         coalesce(base.pred, live.pred) AS pred,
+         coalesce(base.obj, live.obj) AS obj,
+         CASE WHEN base.subj IS NOT NULL AND live.subj IS NOT NULL THEN 'unchanged'
+              WHEN base.subj IS NOT NULL THEN 'retracted'
+              ELSE 'added' END AS status
+  FROM base FULL OUTER JOIN live
+    ON base.subj = live.subj AND base.pred = live.pred AND base.obj = live.obj
+"""
+
+QUERIES["kg_snapshot_diff"] = q_kg_snapshot_diff
+ORACLES["kg_snapshot_diff"] = SQL_KG_SNAPSHOT_DIFF
