@@ -55,6 +55,8 @@ HEADLINE = [
     "sample_stratified",
     "quality_repetition",
     "quality_perplexity",
+    "quality_funnel",
+    "minhash_est_error",
     "doc_tfidf_topk",
     "multimodal_image_stats",
     "multimodal_audio_stats",

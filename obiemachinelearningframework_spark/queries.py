@@ -2897,3 +2897,178 @@ SQL_KG_SNAPSHOT_DIFF = f"""
 
 QUERIES["kg_snapshot_diff"] = q_kg_snapshot_diff
 ORACLES["kg_snapshot_diff"] = SQL_KG_SNAPSHOT_DIFF
+
+
+# sequential quality-gate thresholds (Gopher-style funnel); chosen so each
+# stage drops a real fraction of this corpus — the funnel REPORT is the
+# operator, the thresholds are policy
+QF_MIN_TOKENS = 20
+QF_MAX_DUP_TOKEN = 0.65
+QF_MAX_TOP_TOKEN = 0.15
+QF_MAX_AVG_NLL = 3.43
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Quality-gate funnel report — the acceptance dashboard of a
+    training-data pipeline: how many documents enter each sequential gate
+    (length -> token repetition -> top-token dominance -> bigram-LM
+    perplexity) and how many survive it, where each gate sees only the
+    survivors of the previous one. All per-document signals come from
+    doc_id-keyed aggregations already computed by the standalone quality
+    queries; the funnel itself is one conditional-sum aggregate over the
+    per-doc flag table, so the report costs one corpus pass regardless of
+    gate count."""
+    scores = q_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    rep = q_quality_repetition(spark, sf_dir).select(
+        "doc_id", "dup_token_frac", "top_token_frac"
+    )
+    ppl = q_quality_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    flags = (
+        scores.join(rep, "doc_id").join(ppl, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_tokens") >= QF_MIN_TOKENS).cast("int").alias("g1"),
+            (F.col("dup_token_frac") <= QF_MAX_DUP_TOKEN).cast("int").alias("g2"),
+            (F.col("top_token_frac") <= QF_MAX_TOP_TOKEN).cast("int").alias("g3"),
+            (F.col("avg_nll") <= QF_MAX_AVG_NLL).cast("int").alias("g4"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum("g1").alias("s1"),
+        F.sum(F.col("g1") * F.col("g2")).alias("s2"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3")).alias("s3"),
+        F.sum(F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4")).alias("s4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("min_tokens").alias("gate"),
+                 F.col("s0").alias("n_in"), F.col("s1").alias("n_pass")),
+        F.struct(F.lit(2).alias("stage"), F.lit("dup_token").alias("gate"),
+                 F.col("s1").alias("n_in"), F.col("s2").alias("n_pass")),
+        F.struct(F.lit(3).alias("stage"), F.lit("top_token").alias("gate"),
+                 F.col("s2").alias("n_in"), F.col("s3").alias("n_pass")),
+        F.struct(F.lit(4).alias("stage"), F.lit("perplexity").alias("gate"),
+                 F.col("s3").alias("n_in"), F.col("s4").alias("n_pass")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.gate", "s.n_in", "s.n_pass",
+                (F.col("s.n_in") - F.col("s.n_pass")).alias("n_drop"))
+    )
+
+
+SQL_QUALITY_FUNNEL = f"""
+  WITH qs AS ({{QS}}), qr AS ({{QR}}), qp AS ({{QP}}),
+  flags AS (
+    SELECT qs.doc_id,
+           CASE WHEN qs.n_tokens >= {QF_MIN_TOKENS} THEN 1 ELSE 0 END AS g1,
+           CASE WHEN qr.dup_token_frac <= {QF_MAX_DUP_TOKEN} THEN 1 ELSE 0 END AS g2,
+           CASE WHEN qr.top_token_frac <= {QF_MAX_TOP_TOKEN} THEN 1 ELSE 0 END AS g3,
+           CASE WHEN qp.avg_nll <= {QF_MAX_AVG_NLL} THEN 1 ELSE 0 END AS g4
+    FROM qs JOIN qr ON qs.doc_id = qr.doc_id JOIN qp ON qs.doc_id = qp.doc_id),
+  agg AS (
+    SELECT count(*) AS s0,
+           CAST(sum(g1) AS BIGINT) AS s1,
+           CAST(sum(g1 * g2) AS BIGINT) AS s2,
+           CAST(sum(g1 * g2 * g3) AS BIGINT) AS s3,
+           CAST(sum(g1 * g2 * g3 * g4) AS BIGINT) AS s4
+    FROM flags)
+  SELECT stage, gate, n_in, n_pass, n_in - n_pass AS n_drop FROM (
+    SELECT 1 AS stage, 'min_tokens' AS gate, s0 AS n_in, s1 AS n_pass FROM agg
+    UNION ALL SELECT 2, 'dup_token', s1, s2 FROM agg
+    UNION ALL SELECT 3, 'top_token', s2, s3 FROM agg
+    UNION ALL SELECT 4, 'perplexity', s3, s4 FROM agg)
+"""
+
+SQL_QUALITY_FUNNEL = (
+    SQL_QUALITY_FUNNEL
+    .replace("{QS}", SQL_QUALITY_SCORE)
+    .replace("{QR}", SQL_QUALITY_REPETITION)
+    .replace("{QP}", SQL_QUALITY_PERPLEXITY)
+)
+
+QUERIES["quality_funnel"] = q_quality_funnel
+ORACLES["quality_funnel"] = SQL_QUALITY_FUNNEL
+
+
+def q_minhash_est_error(spark, sf_dir):
+    """Sketch-accuracy report for the MinHash dedup path: for every
+    LSH-banded candidate pair, the signature-agreement Jaccard ESTIMATE
+    next to the exact shingle-set Jaccard and the absolute error — the
+    measurement that justifies (or indicts) the signature size in
+    production. The exact side is computed ONLY for the banded candidates
+    (pair-bounded, never all-pairs), via one shingle-keyed join per pair
+    side plus per-doc set sizes."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    sig = q_minhash_signature(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(agree / F.lit(N_MINHASH), 6).alias("est_jaccard"))
+    )
+    s = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs
+        .join(s.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .withColumn("abs_err",
+                    F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6))
+    )
+
+
+SQL_MINHASH_EST_ERROR = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sig AS (
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+    FROM sh GROUP BY doc_id),
+  pairs AS (SELECT * FROM ({SQL_DEDUP_MINHASH_LSH})),
+  est AS (
+    SELECT p.doc_a, p.doc_b,
+           round(({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}) / {N_MINHASH}.0, 6) AS est_jaccard
+    FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS inter
+    FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+                 JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+    GROUP BY p.doc_a, p.doc_b),
+  fin AS (
+    SELECT est.doc_a, est.doc_b, est_jaccard,
+           round(CAST(coalesce(inter, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(inter, 0)), 6) AS exact_jaccard
+    FROM est LEFT JOIN inter ON est.doc_a = inter.doc_a AND est.doc_b = inter.doc_b
+         JOIN sizes na ON na.doc_id = est.doc_a
+         JOIN sizes nb ON nb.doc_id = est.doc_b)
+  SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+         round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+  FROM fin
+"""
+
+QUERIES["minhash_est_error"] = q_minhash_est_error
+ORACLES["minhash_est_error"] = SQL_MINHASH_EST_ERROR
