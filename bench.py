@@ -57,6 +57,8 @@ HEADLINE = [
     "quality_perplexity",
     "quality_funnel",
     "minhash_est_error",
+    "kg_triple_support",
+    "distinct_hll",
     "doc_tfidf_topk",
     "multimodal_image_stats",
     "multimodal_audio_stats",

@@ -3072,3 +3072,154 @@ SQL_MINHASH_EST_ERROR = f"""
 
 QUERIES["minhash_est_error"] = q_minhash_est_error
 ORACLES["minhash_est_error"] = SQL_MINHASH_EST_ERROR
+
+
+def q_kg_triple_support(spark, sf_dir):
+    """Triple provenance/support — the aggregation that turns raw mention
+    occurrences into weighted KG assertions (reference: every accepted
+    slot filler carries its evidence mentions; here the evidence is kept
+    as first-class columns instead of being discarded at materialization).
+    Per (subj, pred, obj): support = number of occurrence positions
+    backing the assertion, first_pos = earliest evidence position, and
+    corroborated = whether the independent noisy channel (PRED_DICT)
+    also asserts the same surface/type. ONE exchange on the triple key;
+    corroboration is a broadcast lookup against the dictionary-sized
+    channel table, so the plan is the same shape at 10^12 rows."""
+    m = q_mentions_dict(spark, sf_dir)
+    pred_dict = spark.createDataFrame(PRED_DICT, ["surface", "type_id"]).select(
+        F.col("surface").alias("token"), "type_id", F.lit(1).alias("corroborated")
+    )
+    return (
+        m.join(F.broadcast(pred_dict), ["token", "type_id"], "left")
+        .groupBy(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        )
+        .agg(
+            F.count("*").alias("support"),
+            F.min("pos").alias("first_pos"),
+            F.max(F.coalesce("corroborated", F.lit(0))).alias("corroborated"),
+        )
+    )
+
+
+SQL_KG_TRIPLE_SUPPORT = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  pdict(surface, type_id) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  m AS (SELECT doc_id, pos, token, dict.type_id,
+               CASE WHEN pdict.surface IS NOT NULL THEN 1 ELSE 0 END AS corr
+        FROM toks JOIN dict ON token = dict.surface
+        LEFT JOIN pdict ON token = pdict.surface AND dict.type_id = pdict.type_id)
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+         'mentions_' || type_id AS pred,
+         token AS obj,
+         count(*) AS support,
+         CAST(min(pos) AS INT) AS first_pos,
+         CAST(max(corr) AS INT) AS corroborated
+  FROM m GROUP BY doc_id, type_id, token
+"""
+
+QUERIES["kg_triple_support"] = q_kg_triple_support
+ORACLES["kg_triple_support"] = SQL_KG_TRIPLE_SUPPORT
+
+
+# ------------------------------------------------ HyperLogLog (portable)
+# m = 64 registers (6 index bits) over a 26-bit remainder of a 32-bit
+# md5-derived hash. All arithmetic is integer or dyadic-exact doubles
+# (2^-rho sums over <= 64 terms fit a double mantissa exactly), so the
+# estimate is bit-identical across engines and across partitionings.
+HLL_M = 64
+HLL_ALPHA = 0.709   # alpha_64 from Flajolet et al. 2007, Table 1
+
+
+def q_distinct_hll(spark, sf_dir):
+    """Per-language vocabulary size via a portable HyperLogLog sketch,
+    reported against the exact distinct count (the gauge that justifies
+    replacing a corpus-wide COUNT(DISTINCT token) shuffle with a
+    64-register aggregate at 10^12-row scale). Hash = first 8 hex chars
+    of md5(token) as a 32-bit integer; register = hash % 64; rho =
+    leading-zero count of the 26-bit remainder + 1 (exact, via binary
+    bit length — no float log2). Estimate = alpha * m^2 / sum(2^-M_j)
+    with the standard linear-counting small-range correction. The sketch
+    state is (group x 64) rows regardless of corpus size; the exact side
+    exists only to report rel_err and would be dropped in production."""
+    hexval = lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, 87).otherwise(48)
+    h32 = None
+    for i in range(8):
+        term = hexval(F.substring("h", i + 1, 1)).cast("long") * (16 ** (7 - i))
+        h32 = term if h32 is None else h32 + term
+    t = (
+        _tokens(spark, sf_dir)
+        .join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+        .select("lang", "token", F.md5("token").alias("h"))
+        .select("lang", "token", h32.alias("h32"))
+    )
+    regs = t.select(
+        "lang",
+        (F.col("h32") % HLL_M).alias("idx"),
+        F.when(F.col("h32") < HLL_M, 27).otherwise(
+            27 - F.length(F.conv((F.col("h32") / HLL_M).cast("long"), 10, 2))
+        ).alias("rho"),
+    ).groupBy("lang", "idx").agg(F.max("rho").alias("m_j"))
+    per_lang = regs.groupBy("lang").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s = F.col("s_present") + (HLL_M - F.col("n_present"))
+    v = HLL_M - F.col("n_present")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0), HLL_M * F.log(HLL_M / v.cast("double"))
+    ).otherwise(raw)
+    exact = (
+        _tokens(spark, sf_dir)
+        .join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(F.countDistinct("token").alias("n_exact"))
+    )
+    return (
+        per_lang.select("lang", F.round(est, 4).alias("n_est"))
+        .join(exact, "lang")
+        .select(
+            "lang", "n_exact", "n_est",
+            F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4)
+            .alias("rel_err"),
+        )
+    )
+
+
+_HLL_H32_SQL = " + ".join(
+    f"CAST(ascii(substring(h, {i + 1}, 1)) - CASE WHEN ascii(substring(h, {i + 1}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+SQL_DISTINCT_HLL = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  t AS (SELECT d.lang, toks.token, md5(toks.token) AS h
+        FROM toks JOIN documents d ON toks.doc_id = d.doc_id),
+  hashed AS (SELECT lang, token, {_HLL_H32_SQL} AS h32 FROM t),
+  regs AS (
+    SELECT lang, h32 % {HLL_M} AS idx,
+           max(CASE WHEN h32 < {HLL_M} THEN 27
+                    ELSE 27 - length(to_base(CAST(floor(h32 / {HLL_M}) AS BIGINT), 2)) END) AS m_j
+    FROM hashed GROUP BY lang, h32 % {HLL_M}),
+  per_lang AS (
+    SELECT lang, sum(pow(2.0, -m_j)) + ({HLL_M} - count(*)) AS s,
+           {HLL_M} - count(*) AS v
+    FROM regs GROUP BY lang),
+  est AS (
+    SELECT lang,
+           CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / s <= {2.5 * HLL_M} AND v > 0
+                THEN {HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))
+                ELSE {HLL_ALPHA * HLL_M * HLL_M} / s END AS e
+    FROM per_lang),
+  exact AS (SELECT d.lang, count(DISTINCT toks.token) AS n_exact
+            FROM toks JOIN documents d ON toks.doc_id = d.doc_id GROUP BY d.lang)
+  SELECT est.lang, CAST(n_exact AS BIGINT) AS n_exact, round(e, 4) AS n_est,
+         round(abs(round(e, 4) - n_exact) / n_exact, 4) AS rel_err
+  FROM est JOIN exact ON est.lang = exact.lang
+"""
+
+QUERIES["distinct_hll"] = q_distinct_hll
+ORACLES["distinct_hll"] = SQL_DISTINCT_HLL
