@@ -59,6 +59,8 @@ HEADLINE = [
     "minhash_est_error",
     "kg_triple_support",
     "distinct_hll",
+    "sample_mixture",
+    "kg_type_closure",
     "doc_tfidf_topk",
     "multimodal_image_stats",
     "multimodal_audio_stats",

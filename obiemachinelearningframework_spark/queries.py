@@ -3223,3 +3223,158 @@ SQL_DISTINCT_HLL = f"""
 
 QUERIES["distinct_hll"] = q_distinct_hll
 ORACLES["distinct_hll"] = SQL_DISTINCT_HLL
+
+
+# target training-mixture proportions per language (policy); the planner
+# below turns them into per-language keep rates against the actual corpus
+MIXTURE_WEIGHTS = {"en": 0.25, "fr": 0.15, "es": 0.15, "zh": 0.25, "de": 0.20}
+_MIXTURE_SQL = ", ".join(f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS.items()))
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Training-mixture planner + deterministic apply: given target
+    proportions per language, waterfill the largest total sample that
+    respects them without upsampling (T = min over langs of n/w; the
+    binding language keeps everything, rate = T*w/n elsewhere), then
+    apply the same md5-hash predicate as sample_stratified and report
+    per language: available docs, planned rate, kept docs, achieved
+    fraction. The plan side is a 5-row aggregate; the apply side is one
+    map-only scan — the shape a 100 TB mixture job needs (rates are
+    derived from counts, never from a shuffle of the data itself)."""
+    w = spark.createDataFrame(
+        sorted(MIXTURE_WEIGHTS.items()), ["lang", "weight"]
+    )
+    counts = (
+        _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_avail"))
+        .join(F.broadcast(w), "lang")
+    )
+    t_total = counts.agg(
+        F.min(F.col("n_avail") / F.col("weight")).alias("t")
+    )
+    rates = counts.crossJoin(F.broadcast(t_total)).select(
+        "lang", "n_avail",
+        F.least(F.lit(1.0), F.col("t") * F.col("weight") / F.col("n_avail"))
+        .alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("m"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("double") / F.lit(65536.0)
+    )
+    kept = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.round(u, 6).alias("u"))
+        .join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("lang").agg(F.count("*").alias("n_kept"))
+    )
+    tot = kept.agg(F.sum("n_kept").alias("tot"))
+    return (
+        rates.join(F.broadcast(kept), "lang").crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_avail", F.round("rate", 6).alias("rate"), "n_kept",
+            F.round(F.col("n_kept") / F.col("tot"), 6).alias("achieved_frac"),
+        )
+    )
+
+
+SQL_SAMPLE_MIXTURE = f"""
+  WITH w(lang, weight) AS (VALUES {_MIXTURE_SQL}),
+  counts AS (SELECT d.lang, count(*) AS n_avail, CAST(any_value(weight) AS DOUBLE) AS weight
+             FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+  t AS (SELECT min(n_avail / weight) AS t FROM counts),
+  rates AS (SELECT lang, n_avail,
+                   least(1.0, t.t * weight / n_avail) AS rate
+            FROM counts, t),
+  u AS (SELECT doc_id, lang, round((
+            (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) / 65536.0, 6) AS u
+        FROM (SELECT doc_id, lang, md5('m' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents)),
+  kept AS (SELECT u.lang, count(*) AS n_kept
+           FROM u JOIN rates ON u.lang = rates.lang
+           WHERE u.u < rates.rate GROUP BY u.lang),
+  tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tot FROM kept)
+  SELECT rates.lang, n_avail, round(rate, 6) AS rate,
+         CAST(n_kept AS BIGINT) AS n_kept,
+         round(n_kept / tot.tot, 6) AS achieved_frac
+  FROM rates JOIN kept ON rates.lang = kept.lang, tot
+"""
+
+QUERIES["sample_mixture"] = q_sample_mixture
+ORACLES["sample_mixture"] = SQL_SAMPLE_MIXTURE
+
+
+# ontology subclass edges over the dictionary's type system (pinned
+# policy table — the analog of the reference ontology's class hierarchy,
+# templates/HierarchyTemplate semantics applied KB-side)
+KG_TYPE_PARENT = [
+    ("Operator", "ExecutionConcept"), ("Dataset", "DataConcept"),
+    ("ExecutionConcept", "Concept"), ("DataConcept", "Concept"),
+    ("Entity", "DomainObject"), ("System", "DomainObject"),
+    ("DomainObject", "Concept"),
+]
+_KG_TYPE_PARENT_SQL = ", ".join(f"('{c}', '{p}')" for c, p in KG_TYPE_PARENT)
+
+
+def _type_closure():
+    """Transitive closure of KG_TYPE_PARENT with depths (pure python —
+    the ontology is policy-sized, never data-sized)."""
+    parents = {}
+    for c, p in KG_TYPE_PARENT:
+        parents.setdefault(c, []).append(p)
+    out = []
+    for start in parents:
+        frontier, depth, seen = [start], 0, set()
+        while frontier:
+            depth += 1
+            nxt = []
+            for node in frontier:
+                for p in parents.get(node, ()):
+                    if p not in seen:
+                        seen.add(p)
+                        out.append((start, p, depth))
+                        nxt.append(p)
+            frontier = nxt
+    return out
+
+
+def q_kg_type_closure(spark, sf_dir):
+    """Ontology type inference over the KG: every asserted (surface, type)
+    mention pair gains its ancestor types via the subclass closure — the
+    classic materialized-rdfs:subClassOf-closure step of KG construction.
+    The closure is computed driver-side over the policy-sized ontology
+    and broadcast; the data side is ONE distinct over (surface, type)
+    (vocabulary-bounded), so the plan is a broadcast join regardless of
+    corpus size."""
+    closure = spark.createDataFrame(
+        _type_closure(), ["type_id", "ancestor", "depth"]
+    )
+    asserted = (
+        q_mentions_dict(spark, sf_dir).select("token", "type_id").distinct()
+    )
+    return (
+        asserted.join(F.broadcast(closure), "type_id")
+        .select(F.col("token").alias("obj"), "type_id", "ancestor", "depth")
+    )
+
+
+SQL_KG_TYPE_CLOSURE = f"""
+  WITH RECURSIVE
+  dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  edges(child, parent) AS (VALUES {_KG_TYPE_PARENT_SQL}),
+  closure(type_id, ancestor, depth) AS (
+    SELECT child, parent, 1 FROM edges
+    UNION ALL
+    SELECT c.type_id, e.parent, c.depth + 1
+    FROM closure c JOIN edges e ON c.ancestor = e.child),
+  asserted AS (SELECT DISTINCT token, type_id
+               FROM toks JOIN dict ON token = surface)
+  SELECT token AS obj, a.type_id, ancestor, CAST(depth AS INT) AS depth
+  FROM asserted a JOIN closure ON a.type_id = closure.type_id
+"""
+
+QUERIES["kg_type_closure"] = q_kg_type_closure
+ORACLES["kg_type_closure"] = SQL_KG_TYPE_CLOSURE
