@@ -2917,19 +2917,32 @@ def q_quality_funnel(spark, sf_dir):
     doc_id-keyed aggregations already computed by the standalone quality
     queries; the funnel itself is one conditional-sum aggregate over the
     per-doc flag table, so the report costs one corpus pass regardless of
-    gate count."""
-    scores = q_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
-    rep = q_quality_repetition(spark, sf_dir).select(
-        "doc_id", "dup_token_frac", "top_token_frac"
+    gate count. The length / repetition / top-token signals all derive
+    from ONE (doc_id, token) aggregation (a single corpus token scan,
+    map-side combined) rather than re-running the standalone queries'
+    three separate scans; the per-value rounding matches the standalone
+    queries exactly, so the SQL oracle can keep composing them."""
+    base = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("tf").alias("max_tf"),
+        )
     )
     ppl = q_quality_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
     flags = (
-        scores.join(rep, "doc_id").join(ppl, "doc_id")
+        base.join(ppl, "doc_id")
         .select(
             "doc_id",
             (F.col("n_tokens") >= QF_MIN_TOKENS).cast("int").alias("g1"),
-            (F.col("dup_token_frac") <= QF_MAX_DUP_TOKEN).cast("int").alias("g2"),
-            (F.col("top_token_frac") <= QF_MAX_TOP_TOKEN).cast("int").alias("g3"),
+            (F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
+             <= QF_MAX_DUP_TOKEN).cast("int").alias("g2"),
+            (F.round(F.col("max_tf") / F.col("n_tokens"), 6)
+             <= QF_MAX_TOP_TOKEN).cast("int").alias("g3"),
             (F.col("avg_nll") <= QF_MAX_AVG_NLL).cast("int").alias("g4"),
         )
     )
