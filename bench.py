@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_lsh_buckets",
     "ann_topk_bucketed",
     "ann_topk_ivf",
+    "ann_topk_ivfpq",
     "ann_recall_report",
     "dedup_embedding",
     "dedup_cluster_sizes",

@@ -3391,3 +3391,175 @@ SQL_KG_TYPE_CLOSURE = f"""
 
 QUERIES["kg_type_closure"] = q_kg_type_closure
 ORACLES["kg_type_closure"] = SQL_KG_TYPE_CLOSURE
+
+
+# --------------------------------------------------------- IVF-PQ (ADC)
+# Product quantization on top of the coarse IVF index (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011): the
+# memory form that makes 10^12-vector ANN possible — each vector is
+# stored as PQ_M 4-bit codes (PQ_K=16) instead of PQ_M*PQ_SUB floats,
+# and query-time distances come from a per-query lookup table (ADC),
+# never from the raw vectors; raw vectors are touched only to rerank a
+# tiny shortlist.
+PQ_M = 8          # subspaces
+PQ_SUB = 8        # dims per subspace (PQ_M * PQ_SUB = embedding dim)
+PQ_K = 16         # centroids per subspace (codebook pinned to the
+                  # sub-vectors of the first PQ_K corpus vectors so the
+                  # DuckDB oracle sees identical centroids)
+PQ_SHORTLIST = 5  # ADC shortlist reranked with exact distances
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def q_ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ top-3 ANN with asymmetric distance computation (ADC) and
+    exact rerank. Plan at scale: (1) coarse assignment and PQ encoding
+    are each ONE broadcast-codebook map pass (the stored index is PQ_M
+    small ints per vector — a fraction of the raw data at 10^12 rows);
+    (2) candidates come from IVF_NPROBE coarse inverted lists only, never
+    the corpus; (3) ADC joins the per-query lookup table (queries x PQ_M
+    x PQ_K rows, broadcast) against the candidates' codes — (pairs x
+    PQ_M) rows, NO raw vectors; (4) only the PQ_SHORTLIST best ADC
+    candidates per query are reranked with true squared L2 over raw
+    vectors. All rankings order by 6-dp-rounded distances (the
+    engine-stable convention of ann_topk_ivf / doc_tfidf_topk)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    # PQ codebook: (m, j, c) — PQ_M * PQ_K sub-vectors, broadcast-sized
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("j"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("c"))
+            for m in range(PQ_M)
+        ])).alias("mc"),
+    ).select("j", F.col("mc.m").alias("m"), F.col("mc.c").alias("c"))
+
+    subv = F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB))
+
+    # encode: nearest sub-centroid per (vector, subspace); min over a
+    # (distance, j) struct = deterministic argmin, map-side combinable
+    codes = (
+        e.crossJoin(F.broadcast(cb))
+        .select("vec_id", "m", "j", F.round(_l2sq(subv, F.col("c")), 6).alias("sd"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("sd", "j")).alias("best"))
+        .select("vec_id", "m", F.col("best.j").alias("j"))
+    )
+
+    # coarse IVF: same pinned-codebook assignment as ann_topk_ivf
+    coarse = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    from .operators.ivf import _cos_expr
+    ac = (
+        e.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "cid", _cos_expr("v", "cv").alias("cos_c"))
+        .withColumn("r", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc(F.round("cos_c", 6)), F.asc("cid"))
+        ))
+    )
+    lists = ac.filter(F.col("r") == 1).select(F.col("vec_id").alias("nid"), "cid")
+    probes = ac.filter((F.col("vec_id") < IVF_MAX_QID) & (F.col("r") <= IVF_NPROBE)).select(
+        F.col("vec_id").alias("qid"), "cid"
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid").distinct()
+    )
+
+    # ADC lookup table per query (broadcast: queries x PQ_M x PQ_K rows)
+    lut = (
+        e.filter(F.col("vec_id") < IVF_MAX_QID)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col("vec_id").alias("qid"), "m", "j",
+                F.round(_l2sq(subv, F.col("c")), 6).alias("d"))
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(F.broadcast(lut), ["qid", "m", "j"])
+        .groupBy("qid", "nid")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .withColumn("sr", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+        ))
+        .filter(F.col("sr") <= PQ_SHORTLIST)
+    )
+
+    # exact rerank of the shortlist only
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qvec"))
+    nv = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nvec"))
+    return (
+        adc.join(qv, "qid").join(nv, "nid")
+        .select("qid", "nid", "adc", F.round(_l2sq(F.col("qvec"), F.col("nvec")), 6).alias("l2"))
+        .withColumn("rank", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.asc("l2"), F.asc("nid"))
+        ))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", F.round("adc", 4).alias("adc"), F.round("l2", 4).alias("l2"))
+    )
+
+
+SQL_ANN_TOPK_IVFPQ = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  sube AS (SELECT vec_id, CAST(floor(d / {PQ_SUB}) AS INT) AS m,
+                  d % {PQ_SUB} AS r, v FROM e),
+  cb AS (SELECT vec_id AS j, m, r, v AS c FROM sube WHERE vec_id < {PQ_K}),
+  sd AS (SELECT s.vec_id, s.m, cb.j,
+                round(sum((s.v - cb.c) * (s.v - cb.c)), 6) AS sd
+         FROM sube s JOIN cb ON s.m = cb.m AND s.r = cb.r
+         GROUP BY s.vec_id, s.m, cb.j),
+  codes AS (SELECT vec_id, m, j FROM (
+      SELECT vec_id, m, j,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY sd ASC, j ASC) AS rn
+      FROM sd) WHERE rn = 1),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  cent AS (SELECT vec_id AS cid, d, v AS cv FROM e WHERE vec_id < {IVF_K}),
+  cnorm AS (SELECT cid, sqrt(sum(cv * cv)) AS cnorm FROM cent GROUP BY cid),
+  cdot AS (SELECT e.vec_id, cent.cid, sum(e.v * cent.cv) AS dot
+           FROM e JOIN cent ON e.d = cent.d GROUP BY e.vec_id, cent.cid),
+  ac AS (SELECT cdot.vec_id, cdot.cid,
+                CAST(row_number() OVER (PARTITION BY cdot.vec_id
+                     ORDER BY round(cdot.dot / (norm.norm * cnorm.cnorm), 6) DESC,
+                              cdot.cid ASC) AS INT) AS r
+         FROM cdot JOIN norm ON norm.vec_id = cdot.vec_id
+                   JOIN cnorm ON cnorm.cid = cdot.cid),
+  lists AS (SELECT vec_id AS nid, cid FROM ac WHERE r = 1),
+  probes AS (SELECT vec_id AS qid, cid FROM ac
+             WHERE vec_id < {IVF_MAX_QID} AND r <= {IVF_NPROBE}),
+  cand AS (SELECT DISTINCT p.qid, l.nid FROM probes p JOIN lists l ON l.cid = p.cid
+           WHERE p.qid <> l.nid),
+  lut AS (SELECT vec_id AS qid, m, j, sd AS d FROM sd WHERE vec_id < {IVF_MAX_QID}),
+  adc0 AS (SELECT c.qid, c.nid, round(sum(lut.d), 6) AS adc
+           FROM cand c JOIN codes ON codes.vec_id = c.nid
+                       JOIN lut ON lut.qid = c.qid AND lut.m = codes.m AND lut.j = codes.j
+           GROUP BY c.qid, c.nid),
+  short AS (SELECT qid, nid, adc,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS INT) AS sr
+            FROM adc0),
+  rer AS (SELECT s.qid, s.nid, s.adc,
+                 round(sum((a.v - b.v) * (a.v - b.v)), 6) AS l2
+          FROM short s JOIN e a ON a.vec_id = s.qid
+                       JOIN e b ON b.vec_id = s.nid AND b.d = a.d
+          WHERE s.sr <= {PQ_SHORTLIST}
+          GROUP BY s.qid, s.nid, s.adc),
+  ranked AS (SELECT qid, nid, adc, l2,
+                    CAST(row_number() OVER (PARTITION BY qid ORDER BY l2 ASC, nid ASC) AS INT) AS rank
+             FROM rer)
+  SELECT qid, nid, rank, round(adc, 4) AS adc, round(l2, 4) AS l2
+  FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["ann_topk_ivfpq"] = q_ann_topk_ivfpq
+ORACLES["ann_topk_ivfpq"] = SQL_ANN_TOPK_IVFPQ

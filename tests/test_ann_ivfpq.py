@@ -1,0 +1,143 @@
+"""IVF-PQ: (1) the registry query (pinned codebooks, oracle-parity
+form) pinned against a pure-numpy recomputation of the whole pipeline
+(coarse assignment -> PQ encode -> ADC shortlist -> exact rerank);
+(2) the trained production form (operators/pq.py: KMeans sub-codebooks
+over RESIDUALS) reaches recall >= 0.8 on clustered data where the
+pinned raw-vector form collapses — the measured reason IVFADC encodes
+residuals."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from obiemachinelearningframework_spark.queries import (
+    IVF_K,
+    IVF_MAX_QID,
+    IVF_NPROBE,
+    PQ_K,
+    PQ_M,
+    PQ_SHORTLIST,
+    PQ_SUB,
+    q_ann_topk_ivfpq,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _r4(x):
+    """Spark/DuckDB round() is HALF_UP on the shortest decimal repr;
+    Python's round() is half-even — the inputs here are exact 6-decimal
+    values, so halves at the 5th decimal are common and the mode matters."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("1e-4"), ROUND_HALF_UP))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+
+    # coarse assignment (cosine to the first IVF_K vectors, 6-dp ranking)
+    C = V[:IVF_K]
+    cos = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :])
+    order = np.lexsort((np.arange(IVF_K)[None, :].repeat(len(V), 0),
+                        -np.round(cos, 6)), axis=1)
+    assign = order[:, 0]
+    probes = order[:, :IVF_NPROBE]
+
+    # PQ encode: nearest sub-centroid, (rounded distance, j) tie-break
+    subs = V.reshape(len(V), PQ_M, PQ_SUB)
+    cb = subs[:PQ_K]  # (j, m, sub)
+    sd = np.round(((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3), 6)
+    # sd: (vec, j, m) -> argmin over j with j tie-break (argmin takes first)
+    codes = sd.argmin(axis=1)  # (vec, m)
+
+    out = {}
+    for qi in range(len(V)):
+        qid = ids[qi]
+        if qid >= IVF_MAX_QID:
+            continue
+        cand = [ni for ni in range(len(V))
+                if ni != qi and assign[ni] in probes[qi]]
+        adc = {ni: round(sum(sd[qi, codes[ni, m], m] for m in range(PQ_M)), 6)
+               for ni in cand}
+        short = sorted(cand, key=lambda ni: (adc[ni], ids[ni]))[:PQ_SHORTLIST]
+        l2 = {ni: round(((V[qi] - V[ni]) ** 2).sum(), 6) for ni in short}
+        top = sorted(short, key=lambda ni: (l2[ni], ids[ni]))[:3]
+        out[qid] = [(ids[ni], r + 1, _r4(adc[ni]), _r4(l2[ni]))
+                    for r, ni in enumerate(top)]
+    return V, ids, out, assign, probes
+
+
+def test_ivfpq_matches_python(spark, ref):
+    _, _, want, _, _ = ref
+    got = {}
+    for r in q_ann_topk_ivfpq(spark, SF_DIR).collect():
+        got.setdefault(r.qid, []).append((r.nid, r.rank, r.adc, r.l2))
+    got = {q: sorted(v, key=lambda x: x[1]) for q, v in got.items()}
+    assert got == want
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    """8 tight clusters, vec_ids round-robin so the pinned coarse
+    codebook (first 16 vectors) covers every cluster."""
+    rng = np.random.RandomState(41)
+    n_clusters, per_cluster, d = 8, 60, 64
+    centers = rng.normal(0, 1, (n_clusters, d))
+    n = n_clusters * per_cluster
+    V = np.zeros((n, d))
+    for vid in range(n):
+        V[vid] = centers[vid % n_clusters] + 0.08 * rng.normal(0, 1, d)
+    out = str(tmp_path_factory.mktemp("pq_clustered") / "sf")
+    pdf = pd.DataFrame({"vec_id": range(n),
+                        "embedding": [list(map(float, v)) for v in V]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet")
+    return out, V
+
+
+def _true_nn(V, q):
+    d2 = ((V - V[q]) ** 2).sum(axis=1)
+    d2[q] = np.inf
+    return int(d2.argmin())
+
+
+def test_trained_residual_pq_recall(spark, clustered):
+    from obiemachinelearningframework_spark.operators.ivf import train_codebook
+    from obiemachinelearningframework_spark.operators.pq import (
+        encode_pq, ivfpq_topk, train_pq,
+    )
+
+    sf_dir, V = clustered
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = train_codebook(emb, k=16, seed=3)
+    pq_cb = train_pq(emb, coarse, m=PQ_M, k=PQ_K, seed=7)
+    assert pq_cb.count() == PQ_M * PQ_K
+
+    # the stored index is PQ_M small ints per vector
+    codes = encode_pq(emb, coarse, pq_cb)
+    assert codes.count() == len(V) * PQ_M
+    assert codes.agg({"j": "max"}).first()[0] < PQ_K
+
+    qids = spark.createDataFrame([(q,) for q in range(20)], ["qid"])
+    got = {}
+    for r in ivfpq_topk(emb, coarse, pq_cb, qids, k=3, nprobe=2,
+                        shortlist=16).collect():
+        got.setdefault(r.qid, set()).add(r.nid)
+
+    hits = sum(int(_true_nn(V, q) in got.get(q, set())) for q in range(20))
+    assert hits / 20 >= 0.8, f"trained IVFADC recall {hits / 20:.2f} < 0.8"
+
+
+def test_pinned_raw_pq_collapses_on_clusters(spark, clustered):
+    """The oracle-parity registry form (raw vectors, untrained pinned
+    codebooks) cannot discriminate within a tight cluster — documented
+    contrast, same convention as test_ivf_trained."""
+    sf_dir, V = clustered
+    got = {}
+    for r in q_ann_topk_ivfpq(spark, sf_dir).collect():
+        got.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(int(_true_nn(V, q) in got.get(q, set())) for q in range(20))
+    assert hits / 20 <= 0.5
