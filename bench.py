@@ -32,6 +32,7 @@ HEADLINE = [
     "kg_cardinality_conflicts",
     "kg_type_violations",
     "kg_snapshot_diff",
+    "kg_snapshot_apply",
     "skew_profile",
     "dedup_exact",
     "dedup_minhash_lsh",

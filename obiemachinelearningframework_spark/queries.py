@@ -3563,3 +3563,34 @@ SQL_ANN_TOPK_IVFPQ = f"""
 
 QUERIES["ann_topk_ivfpq"] = q_ann_topk_ivfpq
 ORACLES["ann_topk_ivfpq"] = SQL_ANN_TOPK_IVFPQ
+
+
+def q_kg_snapshot_apply(spark, sf_dir):
+    """MERGE apply — the other half of incremental KG maintenance: take
+    the BASE snapshot and the diff produced by kg_snapshot_diff and
+    materialize the next snapshot (keep unchanged, drop retracted, insert
+    added). The oracle is simply the LIVE channel itself, so the green
+    row proves the algebraic contract apply(base, diff(base, live)) ==
+    live — the invariant that makes checkpointed incremental runs safe to
+    resume. Anti-join on retractions + union of additions, both keyed on
+    the triple key the snapshots are already clustered by."""
+    base = q_triples_kg(spark, sf_dir)
+    diff = q_kg_snapshot_diff(spark, sf_dir)
+    retracted = diff.filter(F.col("status") == "retracted").select("subj", "pred", "obj")
+    added = diff.filter(F.col("status") == "added").select("subj", "pred", "obj")
+    return (
+        base.join(retracted, ["subj", "pred", "obj"], "left_anti")
+        .unionByName(added)
+    )
+
+
+SQL_KG_SNAPSHOT_APPLY = f"""
+  WITH pdict(surface, type_id) AS (VALUES {_PRED_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL})
+  SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+         'mentions_' || type_id AS pred, token AS obj
+  FROM toks JOIN pdict ON token = surface
+"""
+
+QUERIES["kg_snapshot_apply"] = q_kg_snapshot_apply
+ORACLES["kg_snapshot_apply"] = SQL_KG_SNAPSHOT_APPLY

@@ -66,3 +66,27 @@ def test_pagerank_matches_python(spark, triples):
     floor = (1 - PAGERANK_D) / n
     assert all(got[v] > floor for v in nodes if not v.startswith("doc_"))
     assert (1 - PAGERANK_D) < sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_snapshot_apply_roundtrip(spark):
+    """apply(base, diff(base, live)) == live, row-for-row — the MERGE
+    invariant that makes incremental checkpointed runs resumable."""
+    from obiemachinelearningframework_spark.queries import (
+        PRED_DICT, q_kg_snapshot_apply, _tokens,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, q_kg_snapshot_apply(spark, sf).collect()))
+    pred_dict = spark.createDataFrame(PRED_DICT, ["surface", "type_id"])
+    t = _tokens(spark, sf)
+    live = (
+        t.join(F.broadcast(pred_dict), t.token == pred_dict.surface)
+        .select(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        ).distinct()
+    )
+    want = sorted(map(tuple, live.collect()))
+    assert got == want and len(got) > 0
