@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_cluster_sizes",
     "pricing_summary",
+    "shipping_priority",
     "sessionize_events",
     "token_count_bpe",
     "sample_stratified",

@@ -3594,3 +3594,64 @@ SQL_KG_SNAPSHOT_APPLY = f"""
 
 QUERIES["kg_snapshot_apply"] = q_kg_snapshot_apply
 ORACLES["kg_snapshot_apply"] = SQL_KG_SNAPSHOT_APPLY
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — the canonical selective three-way join: both date
+    predicates and the segment predicate push down to the parquet scans
+    (PushedFilters in PLANS.md), the dimension side (filtered customer)
+    broadcasts, and only the fact-fact join shuffles — on the orderkey
+    both tables would be bucketed by in a production layout. Top-10 by
+    revenue with deterministic orderkey tie-break."""
+    cutoff = "1998-06-30"
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_orderpriority", "revenue", "rank")
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+  WITH g AS (
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         o_orderpriority, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS INT) AS rank
+  FROM g QUALIFY rank <= 10
+"""
+
+QUERIES["shipping_priority"] = q_shipping_priority
+ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
