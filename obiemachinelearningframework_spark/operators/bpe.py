@@ -62,8 +62,7 @@ def learn_bpe(tokens: DataFrame, n_merges: int = 16, min_freq: int = 2) -> list:
     vocab = wf.select(
         "word", "freq",
         F.concat(F.split("word", ""), F.array(F.lit(END))).alias("syms"),
-    ).cache()
-    vocab.count()
+    ).cache()  # materialized lazily by the first argmax action
 
     merges: list = []
     for it in range(n_merges):
@@ -88,8 +87,8 @@ def learn_bpe(tokens: DataFrame, n_merges: int = 16, min_freq: int = 2) -> list:
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         nxt = vocab.withColumn("syms", _merge_symbols_udf(a, b)(F.col("syms"))).cache()
-        nxt.count()
-        vocab.unpersist()
+        nxt.count()  # materialize BEFORE dropping the parent cache, or
+        vocab.unpersist()  # iteration i recomputes an i-deep UDF chain
         vocab = nxt
     vocab.unpersist()
     return merges

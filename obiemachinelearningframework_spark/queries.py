@@ -3655,3 +3655,60 @@ SQL_SHIPPING_PRIORITY = """
 
 QUERIES["shipping_priority"] = q_shipping_priority
 ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
+
+
+# ------------------------------------------------ BPE merges (oracled)
+N_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The first N_BPE_MERGES learned BPE merge rules (operators/bpe.py:
+    Sennrich-style training whose loop runs on the vocabulary-bounded
+    word-frequency table — ONE corpus pass total). The merge list is the
+    model artifact (driver-sized by definition); the DuckDB oracle
+    re-learns it with the iterations UNROLLED as generated CTEs (the
+    kg_pagerank convention), symbols kept as delimiter-guarded strings
+    where SQL replace() reproduces BPE's left-to-right non-overlapping
+    merge exactly. Deterministic (freq DESC, pair ASC) tie-breaks on
+    both engines."""
+    from .operators.bpe import learn_bpe
+
+    merges = learn_bpe(_tokens(spark, sf_dir), n_merges=N_BPE_MERGES, min_freq=1)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        ["rank", "left", "right"],
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Generate the unrolled-iteration BPE training oracle."""
+    parts = [f"""
+  toks AS ({_TOKENS_SQL}),
+  wf AS (SELECT token AS word, count(*) AS freq FROM toks GROUP BY token),
+  v0 AS (SELECT word, freq,
+                '·' || array_to_string(string_split(word, ''), '·') || '·</w>·' AS s
+         FROM wf)"""]
+    for i in range(n_merges):
+        parts.append(f"""
+  syms{i} AS (SELECT freq, string_split(trim(s, '·'), '·') AS a FROM v{i}),
+  pairs{i} AS (
+    SELECT a[CAST(j AS INT)] AS l, a[CAST(j + 1 AS INT)] AS r, sum(freq) AS n
+    FROM (SELECT freq, a, unnest(range(1, len(a))) AS j FROM syms{i})
+    GROUP BY l, r),
+  best{i} AS (SELECT l, r FROM pairs{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+  v{i + 1} AS (
+    SELECT word, freq,
+           replace(s, '·' || best{i}.l || '·' || best{i}.r || '·',
+                   '·' || best{i}.l || best{i}.r || '·') AS s
+    FROM v{i}, best{i})""")
+    sel = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, l AS \"left\", r AS \"right\" FROM best{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n  " + sel
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql(N_BPE_MERGES)
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = SQL_BPE_MERGES
