@@ -88,3 +88,28 @@ def test_distinct_hll_deterministic_across_parallelism(spark):
     one = sorted(map(tuple, q_distinct_hll(spark, SF_DIR).coalesce(1).collect()))
     many = sorted(map(tuple, q_distinct_hll(spark, SF_DIR).repartition(16).collect()))
     assert one == many  # register max + dyadic-exact sums: order-free
+
+
+def test_distinct_hll_small_range_correction(spark, tmp_path):
+    """A tiny vocabulary leaves empty registers (V > 0) and a raw
+    estimate <= 2.5m, so the linear-counting branch E = m*ln(m/V) must
+    fire — pinned against the same math in pure Python."""
+    rng = [f"w{i:02d}" for i in range(25)]
+    rows = [(i, " ".join(rng), "xx", "t", 1) for i in range(3)]
+    pd_df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = str(tmp_path / "tiny")
+    spark.createDataFrame(pd_df).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet")
+
+    r = q_distinct_hll(spark, out).collect()
+    assert len(r) == 1 and r[0].lang == "xx"
+    assert r[0].n_exact == 25
+    est = _hll_estimate(set(rng))
+    # the branch must actually be linear counting on this input
+    regs = set()
+    for v in rng:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        regs.add(h % HLL_M)
+    assert HLL_M - len(regs) > 0
+    assert r[0].n_est == pytest.approx(round(est, 4), abs=1e-6)
+    assert abs(r[0].n_est - 25) / 25 < 0.45  # m=64 linear counting is coarse
