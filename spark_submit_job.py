@@ -35,11 +35,13 @@ from pyspark.sql import SparkSession, functions as F
 
 def _ontology(domain: str):
     from obiemachinelearningframework_spark.fixtures import (
+        code_ontology,
         disease_ontology,
         soccer_ontology,
     )
 
-    return {"soccer": soccer_ontology, "disease": disease_ontology}[domain]()
+    return {"soccer": soccer_ontology, "disease": disease_ontology,
+            "code": code_ontology}[domain]()
 
 
 def main() -> None:
@@ -47,7 +49,7 @@ def main() -> None:
     ap.add_argument("mode", choices=["train", "extract"])
     ap.add_argument("--source", required=True,
                     help="parquet dir of (repo, path, commit, lang, content)")
-    ap.add_argument("--domain", default="soccer", choices=["soccer", "disease"])
+    ap.add_argument("--domain", default="soccer", choices=["soccer", "disease", "code"])
     ap.add_argument("--weights", required=True, help="weights file (json-lines)")
     ap.add_argument("--gold", help="train: parquet dir of gold (doc_key, subj, pred, obj)")
     ap.add_argument("--output", help="extract: triples sink dir")

@@ -82,3 +82,34 @@ def test_submit_train_then_extract(spark, tmp_path):
                 "--output", out, "--checkpoint-dir", ck)
     assert p.returncode == 0, p.stderr[-3000:]
     assert "resume: triples stage already committed" in p.stdout
+
+
+def test_submit_code_domain(spark, tmp_path):
+    """The graft's target payload IS source code — drive the cluster
+    entrypoint end-to-end on the code-domain fixture (Module/imports/
+    calls ontology) through real spark-submit."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import build
+
+    build()
+
+    from obiemachinelearningframework_spark.fixtures import generate_corpus
+
+    c = generate_corpus("code", n_docs=40, seed=11)
+    src_dir, gold_dir = str(tmp_path / "source"), str(tmp_path / "gold")
+    spark.createDataFrame(c["source"]).write.parquet(src_dir)
+    spark.createDataFrame(c["gold_triples"]).write.parquet(gold_dir)
+
+    weights = str(tmp_path / "weights.jsonl")
+    p = _submit("train", "--domain", "code", "--source", src_dir,
+                "--gold", gold_dir, "--weights", weights)
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    out, ck = str(tmp_path / "triples"), str(tmp_path / "ck")
+    p = _submit("extract", "--domain", "code", "--source", src_dir,
+                "--weights", weights, "--output", out, "--checkpoint-dir", ck)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "sha256 mismatches: 0" in p.stdout
+    assert glob.glob(f"{out}/repo=*/lang=*")
+    metrics = [json.loads(l) for l in open(f"{ck}/_metrics.jsonl")]
+    assert any(m.get("n_triples", 0) > 0 for m in metrics)
