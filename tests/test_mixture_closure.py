@@ -82,3 +82,35 @@ def test_kg_type_closure_matches_python(spark):
     # every asserted type reaches the root at depth 2
     assert all(("Concept" in {a for (_, tt, a, _) in got if tt == t})
                for t in {t for (_, t) in asserted})
+
+
+def test_mixture_waterfilling_properties():
+    """Property check of the planner math itself (pure logic, no Spark):
+    for arbitrary counts/weights — no upsampling, the binding language is
+    kept in full, and planned kept-counts realize the target proportions
+    exactly."""
+    from hypothesis import given, strategies as st
+
+    langs = ["a", "b", "c", "d"]
+
+    @given(
+        ns=st.lists(st.integers(min_value=1, max_value=10**9),
+                    min_size=4, max_size=4),
+        ws=st.lists(st.floats(min_value=0.01, max_value=1.0,
+                              allow_nan=False), min_size=4, max_size=4),
+    )
+    def prop(ns, ws):
+        tot_w = sum(ws)
+        w = {l: x / tot_w for l, x in zip(langs, ws)}
+        n = dict(zip(langs, ns))
+        t = min(n[l] / w[l] for l in langs)
+        rate = {l: min(1.0, t * w[l] / n[l]) for l in langs}
+        assert all(0.0 < rate[l] <= 1.0 for l in langs)          # no upsampling
+        assert any(abs(rate[l] - 1.0) < 1e-9 for l in langs)     # binding lang full
+        planned = {l: t * w[l] for l in langs}                   # expected keeps
+        tot = sum(planned.values())
+        for l in langs:
+            assert planned[l] <= n[l] * (1 + 1e-9)
+            assert abs(planned[l] / tot - w[l]) < 1e-6           # exact mixture
+
+    prop()
