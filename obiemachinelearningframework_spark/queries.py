@@ -3011,17 +3011,15 @@ def q_minhash_est_error(spark, sf_dir):
     measurement that justifies (or indicts) the signature size in
     production. The exact side is computed ONLY for the banded candidates
     (pair-bounded, never all-pairs), via one shingle-keyed join per pair
-    side plus per-doc set sizes. The shingle set and signature tables are
-    shared across the estimate/exact/size branches with a localCheckpoint
-    lineage cut (the kg_pagerank convention), so the corpus-sized shingle
-    derivation runs ONCE instead of once per branch."""
-    s = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct().localCheckpoint()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ]
-    sig = s.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    side plus per-doc set sizes. The shingle/signature subtrees appear
+    several times in the plan ON PURPOSE: recomputing them from the
+    pruned parquet scan measured FASTER at sf0.1 than sharing them via
+    localCheckpoint (2.8s vs 3.4s full-table cut, 9.7s signature-only
+    cut, min-of-2 same machine) — materialization beats whole-stage
+    codegen only when the subtree is expensive relative to its size,
+    which a 3-shingle window over pruned scans is not."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    sig = q_minhash_signature(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     sb = sig.select(F.col("doc_id").alias("doc_b"),
@@ -3035,6 +3033,7 @@ def q_minhash_est_error(spark, sf_dir):
         .select("doc_a", "doc_b",
                 F.round(agree / F.lit(N_MINHASH), 6).alias("est_jaccard"))
     )
+    s = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs
