@@ -3718,3 +3718,201 @@ SQL_BPE_MERGES = _bpe_oracle_sql(N_BPE_MERGES)
 
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = SQL_BPE_MERGES
+
+
+# ------------------------------------------------ PII scrubbing (oracled)
+# Standard training-data pipeline stage (C4 / RefinedWeb style): redact
+# emails, IPv4 addresses, and phone-shaped numbers. The testdata corpus is
+# synthetic word-soup with no real PII, so BOTH engines first derive the
+# same deterministic PII-bearing text from (doc_id, source) — the operator
+# under test is the scrubber, not the synthesis. All regexes are chosen to
+# mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: per-category match counts plus the sha256 of the
+    fully redacted text (proving byte-identical scrubbing across engines).
+    Map-only — zero exchanges, whole-stage codegen end to end; the plan is
+    identical at 100 TB because no operator here depends on corpus size."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail-"), F.col("source"), F.lit(".com from host 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", aug.alias("aug"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_IP_RE), 0)).alias("n_ip"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_PHONE_RE), 0)).alias("n_phone"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )
+
+
+SQL_PII_SCRUB = rf"""
+  WITH d AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail-' || source || '.com from host 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 250 AS VARCHAR) || ' tel 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+    FROM documents)
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(aug, '{PII_IP_RE}')) AS INT) AS n_ip,
+         CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS INT) AS n_phone,
+         sha256(regexp_replace(regexp_replace(regexp_replace(aug,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_sha
+  FROM d
+"""
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLES["pii_scrub"] = SQL_PII_SCRUB
+
+
+# ------------------------------------- per-line code metrics (oracled)
+# StarCoder/CodeParrot-style structural filters for source-code corpora:
+# max/mean line length, long-line fraction, alphanumeric fraction. The
+# testdata text is single-line word-soup, so the registry entry derives a
+# deterministic fixed-width line structure (LINE_TOKENS tokens per line);
+# the SAME per-doc aggregation runs over real '\n' lines of the generated
+# source-code fixture corpus in tests/test_code_quality.py.
+
+LINE_TOKENS = 8
+LONG_LINE_CHARS = 40
+
+
+def _doc_line_agg(line_lens: DataFrame) -> DataFrame:
+    """(doc_id, line_chars) -> per-document line metrics. Shared between
+    the registry query (synthesized lines) and the real-newline test."""
+    return line_lens.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.max("line_chars").alias("max_line_chars"),
+        F.round(F.avg("line_chars"), 6).alias("avg_line_chars"),
+        F.sum((F.col("line_chars") > LONG_LINE_CHARS).cast("int")).alias("n_long_lines"),
+    )
+
+
+def q_code_line_metrics(spark, sf_dir):
+    """Line lengths are computed WITHOUT materializing line strings:
+    chars(line) = sum(len(token)) + (n_tokens - 1) separators, so the
+    whole query is two partial-aggregating exchanges on doc_id-prefixed
+    keys plus one map-only regex projection — no corpus-wide state."""
+    t = _tokens(spark, sf_dir)
+    lines = (
+        t.groupBy("doc_id", (F.col("pos") / LINE_TOKENS).cast("int").alias("line_id"))
+        .agg((F.sum(F.length("token")) + F.count("*") - 1).alias("line_chars"))
+    )
+    per_doc = _doc_line_agg(lines)
+    alnum = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")).alias("n_alnum"),
+    )
+    return per_doc.join(alnum, "doc_id").select(
+        "doc_id", "n_lines", "max_line_chars", "avg_line_chars", "n_long_lines",
+        F.round(F.col("n_alnum") / F.col("n_chars"), 6).alias("alnum_frac"),
+    )
+
+
+SQL_CODE_LINE_METRICS = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  lines AS (
+    SELECT doc_id, CAST(pos // {LINE_TOKENS} AS INT) AS line_id,
+           sum(len(token)) + count(*) - 1 AS line_chars
+    FROM toks GROUP BY doc_id, line_id),
+  per_doc AS (
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(max(line_chars) AS BIGINT) AS max_line_chars,
+           round(avg(line_chars), 6) AS avg_line_chars,
+           CAST(sum(CASE WHEN line_chars > {LONG_LINE_CHARS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_lines
+    FROM lines GROUP BY doc_id)
+  SELECT p.doc_id, n_lines, max_line_chars, avg_line_chars, n_long_lines,
+         round(CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+               / n_chars, 6) AS alnum_frac
+  FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+QUERIES["code_line_metrics"] = q_code_line_metrics
+ORACLES["code_line_metrics"] = SQL_CODE_LINE_METRICS
+
+
+# --------------------------------- paragraph-level dedup frac (oracled)
+# RefinedWeb-style sub-document dedup signal: the fraction of a document's
+# paragraphs that occur elsewhere in the corpus. Paragraphs here are a
+# deterministic PARA_TOKENS-token segmentation (testdata has no '\n');
+# production would split on blank lines with the identical plan shape:
+# array-side segmentation (no window/sort), one exchange on the paragraph
+# hash, one hash-join back, one per-doc aggregation.
+
+PARA_TOKENS = 20
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("arr"))
+        .filter(F.size("arr") > 0)
+    )
+    paras = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(arr) / {PARA_TOKENS}.0) as int) - 1),"
+                f" i -> sha2(array_join(slice(arr, i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' '), 256))"
+            )
+        ).alias("psha"),
+    )
+    g = paras.groupBy("psha").agg(F.count("*").alias("n_occ"))
+    return (
+        paras.join(g, "psha")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id", "n_paras", "n_dup_paras",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 6).alias("dup_para_frac"),
+        )
+    )
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+  WITH d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents),
+  p AS (
+    SELECT doc_id,
+           sha256(array_to_string(
+             list_slice(arr, j * {PARA_TOKENS} + 1, j * {PARA_TOKENS} + {PARA_TOKENS}), ' ')) AS psha
+    FROM (SELECT doc_id, arr,
+                 unnest(range(0, CAST(ceil(len(arr) / {PARA_TOKENS}.0) AS INT))) AS j
+          FROM d WHERE len(arr) > 0)),
+  g AS (SELECT psha, count(*) AS n_occ FROM p GROUP BY psha)
+  SELECT doc_id, count(*) AS n_paras,
+         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+         round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS dup_para_frac
+  FROM p JOIN g USING (psha)
+  GROUP BY doc_id
+"""
+
+QUERIES["dedup_paragraph"] = q_dedup_paragraph
+ORACLES["dedup_paragraph"] = SQL_DEDUP_PARAGRAPH
