@@ -68,6 +68,12 @@ HEADLINE = [
     "multimodal_image_stats",
     "multimodal_audio_stats",
     "multimodal_video_frames",
+    "events_asof_join",
+    "code_import_graph",
+    "compaction_plan",
+    "pii_scrub",
+    "code_line_metrics",
+    "dedup_paragraph",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

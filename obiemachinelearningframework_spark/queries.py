@@ -3916,3 +3916,172 @@ SQL_DEDUP_PARAGRAPH = f"""
 
 QUERIES["dedup_paragraph"] = q_dedup_paragraph
 ORACLES["dedup_paragraph"] = SQL_DEDUP_PARAGRAPH
+
+
+# ------------------------------------------------- as-of join (oracled)
+# The time-series operator Spark's built-ins lack (DuckDB/kdb/Flink have
+# it natively): for each left event, the single most recent right event
+# at-or-before it with the same key. Implemented as the canonical
+# distributed as-of: tag both sides, union, ONE shuffle on the key, one
+# within-partition sort, last(ignorenulls) over a running window. No
+# range-join explosion, no per-row Python; right rows sort BEFORE left
+# rows at equal timestamps (is_q 0 < 1), giving inclusive ts >= ts'
+# semantics — exactly DuckDB's ASOF LEFT JOIN, which is the oracle.
+# Scale note: the only state is the window's single carried struct per
+# row; hot keys (one user with millions of events) are bounded by the
+# per-partition sort, the standard mitigation being time-range salting
+# with boundary replication — not needed for uniform user traffic.
+
+
+def q_events_asof_join(spark, sf_dir):
+    """Each 'purchase' joined to the latest same-user 'error' at-or-before
+    it (operators/asof.py); lag reported in exact epoch microseconds
+    (integer ⇒ hash-stable)."""
+    from .operators.asof import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id",
+        F.col("event_id").alias("err_event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("r_us"),
+    )
+    joined = asof_join(purchases, errors, key="user_id", ts="ts",
+                       carry_cols=["err_event_id", "r_us"], order_extra="event_id")
+    return joined.select(
+        "event_id", "user_id", "err_event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("r_us")).alias("err_lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+  SELECT p.event_id, p.user_id, e.event_id AS err_event_id,
+         epoch_us(p.ts) - epoch_us(e.ts) AS err_lag_us
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+QUERIES["events_asof_join"] = q_events_asof_join
+ORACLES["events_asof_join"] = SQL_EVENTS_ASOF_JOIN
+
+
+# -------------------------------------------- code import graph (oracled)
+# The code-payload KG primitive: parse import statements out of source
+# text (JVM-side regex, no Python), build the module dependency edge set,
+# and resolve each edge against the corpus's own defined modules. The
+# testdata text is word-soup, so both engines first derive the same
+# deterministic code-shaped content from doc_id (the operator under test
+# is the parse + graph construction, not the synthesis) — the identical
+# plan runs over a real (repo, path, content) source table, and
+# tests/test_code_graph.py runs the same patterns over genuine multi-line
+# Python sources to pin the extraction itself. Unresolved (dangling)
+# edges are kept with resolved=0: at 10^12 files those are the external /
+# stdlib dependencies. The resolve join keys are module names — near
+# uniform — and the groupBy dedup has map-side combine, so no skew path.
+
+IMPORT_RE = r"import (mod_[0-9]+)"
+FROM_RE = r"from (mod_[0-9]+) import"
+MOD_SPACE = 1000
+
+
+def q_code_import_graph(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    content = F.concat(
+        F.lit("import mod_"), ((F.col("doc_id") * 7 + 1) % MOD_SPACE).cast("string"),
+        F.lit(" ; import mod_"), ((F.col("doc_id") * 13 + 5) % MOD_SPACE).cast("string"),
+        F.lit(" ; from mod_"), ((F.col("doc_id") * 31 + 11) % MOD_SPACE).cast("string"),
+        F.lit(" import util ; def fn_"), F.col("doc_id").cast("string"), F.lit(" (): pass"),
+    )
+    src = d.select(F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("src"),
+                   content.alias("content"))
+    edges = (
+        src.select(
+            "src",
+            F.explode(
+                F.concat(
+                    F.regexp_extract_all("content", F.lit(IMPORT_RE), F.lit(1)),
+                    F.regexp_extract_all("content", F.lit(FROM_RE), F.lit(1)),
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    defined = d.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("dst"),
+        F.lit(1).alias("defined"),
+    )
+    return edges.join(defined, "dst", "left").select(
+        "src", "dst", F.coalesce("defined", F.lit(0)).alias("resolved")
+    )
+
+
+SQL_CODE_IMPORT_GRAPH = f"""
+  WITH aug AS (
+    SELECT 'mod_' || CAST(doc_id AS VARCHAR) AS src,
+           'import mod_' || CAST((doc_id * 7 + 1) % {MOD_SPACE} AS VARCHAR)
+           || ' ; import mod_' || CAST((doc_id * 13 + 5) % {MOD_SPACE} AS VARCHAR)
+           || ' ; from mod_' || CAST((doc_id * 31 + 11) % {MOD_SPACE} AS VARCHAR)
+           || ' import util ; def fn_' || CAST(doc_id AS VARCHAR) || ' (): pass' AS content
+    FROM documents),
+  exploded AS (
+    SELECT src, unnest(list_concat(
+             regexp_extract_all(content, 'import (mod_[0-9]+)', 1),
+             regexp_extract_all(content, 'from (mod_[0-9]+) import', 1))) AS dst
+    FROM aug),
+  edges AS (SELECT DISTINCT src, dst FROM exploded),
+  defined AS (SELECT DISTINCT 'mod_' || CAST(doc_id AS VARCHAR) AS dst FROM documents)
+  SELECT e.src, e.dst, CASE WHEN d.dst IS NULL THEN 0 ELSE 1 END AS resolved
+  FROM edges e LEFT JOIN defined d ON e.dst = d.dst
+"""
+
+QUERIES["code_import_graph"] = q_code_import_graph
+ORACLES["code_import_graph"] = SQL_CODE_IMPORT_GRAPH
+
+
+# ------------------------------------------- compaction planner (oracled)
+# Iceberg-maintenance-shaped small-file compaction: given the table's file
+# metadata (file_id, partition, size), assign files to rewrite bins by
+# sequential fill — a file goes to bin floor(preceding_bytes / TARGET).
+# This runs over METADATA (one row per file: ~10^6 rows for a 100 TB
+# table with 128 MB files), so the per-partition window sort is bounded
+# by metadata size, never data size. File metadata is derived here as
+# (file_id=doc_id, partition=lang, size=n_chars); the plan is identical
+# over a real snapshot-files listing.
+
+COMPACT_TARGET_BYTES = 2000
+
+
+def q_compaction_plan(spark, sf_dir):
+    files = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("lang").alias("part"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    w = W.partitionBy("part").orderBy("file_id").rowsBetween(W.unboundedPreceding, -1)
+    binned = files.select(
+        "part", "size_bytes",
+        F.floor(F.coalesce(F.sum("size_bytes").over(w), F.lit(0)) / COMPACT_TARGET_BYTES)
+        .cast("int").alias("bin_id"),
+    )
+    return binned.groupBy("part", "bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_bytes").alias("bin_bytes"),
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+  WITH binned AS (
+    SELECT lang AS part, n_chars AS size_bytes,
+           CAST(floor(coalesce(sum(n_chars) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {COMPACT_TARGET_BYTES}) AS INT) AS bin_id
+    FROM documents)
+  SELECT part, bin_id, count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS bin_bytes
+  FROM binned GROUP BY part, bin_id
+"""
+
+QUERIES["compaction_plan"] = q_compaction_plan
+ORACLES["compaction_plan"] = SQL_COMPACTION_PLAN
