@@ -74,6 +74,10 @@ HEADLINE = [
     "pii_scrub",
     "code_line_metrics",
     "dedup_paragraph",
+    "range_join_intervals",
+    "tokens_zipf",
+    "lang_id_confusion",
+    "events_rollup",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

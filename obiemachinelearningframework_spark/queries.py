@@ -4085,3 +4085,158 @@ SQL_COMPACTION_PLAN = f"""
 
 QUERIES["compaction_plan"] = q_compaction_plan
 ORACLES["compaction_plan"] = SQL_COMPACTION_PLAN
+
+
+# ------------------------------------------ interval range join (oracled)
+# The second time-series operator Spark's built-ins lack: point-in-interval
+# join. The naive formulation is a theta-join (p.ts BETWEEN s AND e) —
+# O(|points|·|intervals|) per key. This is the standard bucketization
+# instead: intervals replicate to the fixed-width time buckets they
+# overlap (sequence + explode, ≤ ceil(len/B)+1 rows each), points land in
+# exactly ONE bucket, and the join becomes an equi-join on (key, bucket)
+# with the precise BETWEEN as a cheap post-filter. Each (interval, point)
+# pair meets in exactly one bucket, so no dedup is needed. One shuffle
+# each side; skew follows the key (same mitigation story as the as-of).
+# Intervals: 10 minutes after each 'error'; points: 'purchase' events.
+
+RANGE_BUCKET_S = 600
+RANGE_LEN_S = 600
+
+
+def q_range_join_intervals(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"), "user_id", sec.alias("s"))
+    pts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("t"),
+        F.floor(sec / RANGE_BUCKET_S).alias("bucket"))
+    iv_b = iv.select(
+        "interval_id", "user_id", "s",
+        F.explode(F.sequence(
+            F.floor(F.col("s") / RANGE_BUCKET_S),
+            F.floor((F.col("s") + RANGE_LEN_S - 1) / RANGE_BUCKET_S),
+        )).alias("bucket"),
+    )
+    hits = (
+        iv_b.join(pts, ["user_id", "bucket"])
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("s") + RANGE_LEN_S))
+        .groupBy("interval_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return iv.join(hits, "interval_id", "left").select(
+        "interval_id", "user_id",
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+    )
+
+
+SQL_RANGE_JOIN_INTERVALS = f"""
+  WITH iv AS (
+    SELECT event_id AS interval_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s
+    FROM events WHERE event_type = 'error'),
+  p AS (
+    SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+    FROM events WHERE event_type = 'purchase')
+  SELECT interval_id, iv.user_id,
+         CAST(count(p.t) AS BIGINT) AS n_points
+  FROM iv LEFT JOIN p
+    ON p.user_id = iv.user_id AND p.t >= iv.s AND p.t < iv.s + {RANGE_LEN_S}
+  GROUP BY interval_id, iv.user_id
+"""
+
+QUERIES["range_join_intervals"] = q_range_join_intervals
+ORACLES["range_join_intervals"] = SQL_RANGE_JOIN_INTERVALS
+
+
+# ------------------------------------------------- Zipf fit (oracled)
+# Corpus-statistics gauge: fit log(freq) ~ log(rank) over the term
+# frequency table with the built-in regression aggregates (JVM-side,
+# single pass over the VOCABULARY — the only sorted state is the
+# vocabulary-bounded rank window, never corpus-bounded). A healthy
+# natural-language corpus has slope ≈ -1; the gauge flags synthetic or
+# boilerplate-heavy shards whose slope collapses.
+
+
+def q_tokens_zipf(spark, sf_dir):
+    freq = _tokens(spark, sf_dir).groupBy("token").agg(F.count("*").alias("freq"))
+    ranked = freq.select(
+        "freq",
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))).alias("rank"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("freq"), F.log("rank")), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("zipf_r2"),
+        F.count("*").alias("n_vocab"),
+    )
+
+
+SQL_TOKENS_ZIPF = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+  ranked AS (
+    SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+    FROM freq)
+  SELECT round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+         round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+         round(regr_r2(ln(freq), ln(rank)), 4) AS zipf_r2,
+         count(*) AS n_vocab
+  FROM ranked
+"""
+
+QUERIES["tokens_zipf"] = q_tokens_zipf
+ORACLES["tokens_zipf"] = SQL_TOKENS_ZIPF
+
+
+# ------------------------------------- lang-ID confusion matrix (oracled)
+# Model-monitoring gauge over the lang_id heuristic: actual label ×
+# predicted label counts — the standard quality dashboard for any
+# classifier stage in the pipeline. One extra exchange over lang_id's
+# plan (the matrix aggregation); matrix size = |langs|² = tiny.
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    pred = q_lang_id(spark, sf_dir)
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs"))
+
+
+SQL_LANG_ID_CONFUSION = f"""
+  WITH pred AS ({SQL_LANG_ID})
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY lang, predicted_lang
+"""
+
+QUERIES["lang_id_confusion"] = q_lang_id_confusion
+ORACLES["lang_id_confusion"] = SQL_LANG_ID_CONFUSION
+
+
+# ------------------------------------------- CUBE event rollup (oracled)
+# Multi-dimensional rollup (the OLAP dashboard primitive): event counts
+# and exact value sums by (event_type × hour-of-day) with all CUBE
+# subtotals. hour() reads the NTZ timestamp's literal field on both
+# engines (no timezone conversion anywhere); money is summed in integer
+# cents so every grand total is exact, not float-drifted. Spark computes
+# CUBE as one expand + one partial-aggregated exchange — scale-safe.
+
+
+def q_events_rollup(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").alias("hh"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return e.cube("event_type", "hh").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_value_cents"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+  SELECT event_type, CAST(hour(ts) AS INT) AS hh, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY CUBE (event_type, hour(ts))
+"""
+
+QUERIES["events_rollup"] = q_events_rollup
+ORACLES["events_rollup"] = SQL_EVENTS_ROLLUP
