@@ -78,6 +78,13 @@ HEADLINE = [
     "tokens_zipf",
     "lang_id_confusion",
     "events_rollup",
+    "events_funnel",
+    "events_retention",
+    "local_supplier_volume",
+    "clone_pairs_winnow",
+    "events_transitions",
+    "priority_semi_counts",
+    "profile_lineitem",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -4240,3 +4240,314 @@ SQL_EVENTS_ROLLUP = """
 
 QUERIES["events_rollup"] = q_events_rollup
 ORACLES["events_rollup"] = SQL_EVENTS_ROLLUP
+
+
+# --------------------------------------------- conversion funnel (oracled)
+# Sequential event funnel (view -> click -> purchase, strictly ordered per
+# user): each stage is min(ts) over the PREVIOUS stage's survivors, so a
+# click before the user's first view does not count. Three aggregations,
+# all keyed on user_id — after the first exchange every join and groupBy
+# is co-partitioned — and the final assembly is a cross join of three
+# 1-row aggregates. Scale-safe: state per stage is one row per surviving
+# user.
+
+
+def q_events_funnel(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_t")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("v_t"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_t")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("c_t"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_t")))
+    return (v.agg(F.count("*").alias("n_view"))
+            .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+            .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click"))))
+
+
+SQL_EVENTS_FUNNEL = """
+  WITH v AS (SELECT user_id, min(ts) AS v_t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+  c AS (SELECT e.user_id, min(e.ts) AS c_t FROM events e
+        JOIN v ON e.user_id = v.user_id AND e.ts > v.v_t
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+  p AS (SELECT e.user_id, min(e.ts) AS p_t FROM events e
+        JOIN c ON e.user_id = c.user_id AND e.ts > c.c_t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+  SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_click_after_view,
+         (SELECT count(*) FROM p) AS n_purchase_after_click
+"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = SQL_EVENTS_FUNNEL
+
+
+# ----------------------------------------------- cohort retention (oracled)
+# Cohort retention matrix: cohort = the user's first active calendar day,
+# cells = distinct users active at each day offset. Two aggregations on
+# user_id (distinct active days, then first day) plus one cohort-keyed
+# aggregation; output is |cohorts| x |offsets| — bounded by the calendar,
+# never by the corpus.
+
+
+def q_events_retention(spark, sf_dir):
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("user_id", F.to_date("ts").alias("d")).distinct())
+    f = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        e.join(f, "user_id")
+        .groupBy("cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("cohort").cast("string").alias("cohort_day"),
+                "day_offset", "n_users")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+  WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+  f AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY user_id)
+  SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+         CAST(date_diff('day', cohort, d.d) AS INT) AS day_offset,
+         count(*) AS n_users
+  FROM d JOIN f USING (user_id)
+  GROUP BY cohort, date_diff('day', cohort, d.d)
+"""
+
+QUERIES["events_retention"] = q_events_retention
+ORACLES["events_retention"] = SQL_EVENTS_RETENTION
+
+
+# --------------------------------------- local supplier volume (oracled)
+# TPC-H Q5 shape — the canonical star join with a cross-dimension equality
+# (customer and supplier must share a nation): region/nation prune the
+# dimensions driver-side-free via broadcast joins, the orders date filter
+# pushes to the scan, lineitem |><| orders is the only fact-fact shuffle,
+# and the nation-match predicate rides the broadcast supplier join. At
+# production scale customer stops being broadcastable first — the plan
+# degrades to one extra shuffle on the custkey, nothing else changes.
+
+Q5_REGION = "ASIA"
+Q5_CUTOFF = "1998-06-30"
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    r = (spark.read.parquet(f"{sf_dir}/region.parquet")
+         .filter(F.col("r_name") == Q5_REGION))
+    n = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", "c_nationkey"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") < Q5_CUTOFF)
+         .select("o_orderkey", "o_custkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("s_nationkey") == F.col("c_nationkey"))))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+  SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lineitems
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q5_REGION}'
+    AND o_orderdate < TIMESTAMP '{Q5_CUTOFF} 00:00:00'
+  GROUP BY n_name
+"""
+
+QUERIES["local_supplier_volume"] = q_local_supplier_volume
+ORACLES["local_supplier_volume"] = SQL_LOCAL_SUPPLIER_VOLUME
+
+
+# ------------------------------------------- clone-pair detection (oracled)
+# Code-clone candidate pairs via winnowing-fingerprint overlap (the MOSS
+# scheme): documents sharing >= CLONE_MIN_SHARED distinct window-minimum
+# fingerprints. Reuses the doc_fingerprint derivation; the fingerprint
+# equi-join IS the bucketing (only docs sharing a fingerprint ever meet),
+# with the standard document-frequency cap dropping boilerplate
+# fingerprints before any array materializes (_capped_member_docs runs
+# the cap on ROWS). Pair counting is array-side — the fingerprint table
+# is scanned once and never self-joined.
+
+CLONE_MIN_SHARED = 3
+CLONE_FP_DF_CAP = 50
+
+
+def q_clone_pairs_winnow(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).withColumn(
+        "h", F.substring(F.md5("shingle"), 1, 16))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (sh.withColumn("fp", F.min("h").over(w))
+           .select("doc_id", "fp").distinct())
+    g = _capped_member_docs(fps, ["fp"], "doc_id", CLONE_FP_DF_CAP)
+    return (
+        g.select(F.explode(_intra_bucket_pairs("doc_a", "doc_b")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CLONE_MIN_SHARED)
+    )
+
+
+SQL_CLONE_PAIRS_WINNOW = f"""
+  WITH sh AS (SELECT doc_id, pos, substring(md5(shingle), 1, 16) AS h
+              FROM ({_SHINGLES_SQL})),
+  fp0 AS (SELECT DISTINCT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM sh),
+  fp AS (SELECT fp0.* FROM fp0
+         JOIN (SELECT fp FROM fp0 GROUP BY fp
+               HAVING count(*) <= {CLONE_FP_DF_CAP}) ok USING (fp))
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {CLONE_MIN_SHARED}
+"""
+
+QUERIES["clone_pairs_winnow"] = q_clone_pairs_winnow
+ORACLES["clone_pairs_winnow"] = SQL_CLONE_PAIRS_WINNOW
+
+
+# --------------------------------------- event transition matrix (oracled)
+# First-order Markov transition counts between consecutive event types per
+# user (the session-path analytics primitive): one per-user window lead
+# (the same user_id exchange sessionize uses), then a tiny
+# |types|^2-bounded aggregation; transition probability is an exact
+# integer ratio rounded identically on both engines.
+
+
+def q_events_transitions(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", "event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    counts = (s.filter(F.col("next_type").isNotNull())
+              .groupBy("event_type", "next_type")
+              .agg(F.count("*").alias("n")))
+    tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+  WITH s AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, count(*) AS n FROM s
+        WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+  SELECT event_type, next_type, n,
+         round(CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY event_type), 6) AS p
+  FROM c
+"""
+
+QUERIES["events_transitions"] = q_events_transitions
+ORACLES["events_transitions"] = SQL_EVENTS_TRANSITIONS
+
+
+# --------------------------------------- priority semi-join count (oracled)
+# TPC-H Q4 shape — the EXISTS semi-join primitive (the complement of the
+# anti-join in customers_without_orders): orders with at least one
+# lineitem shipped after the order date, counted by priority. Spark plans
+# LEFT SEMI with the non-equi predicate evaluated inside the join; only
+# the orderkey equi-pair shuffles (or goes exchange-free on a bucketed
+# layout).
+
+
+def q_priority_semi_counts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_PRIORITY_SEMI_COUNTS = """
+  SELECT o_orderpriority, count(*) AS n_orders FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+  GROUP BY o_orderpriority
+"""
+
+QUERIES["priority_semi_counts"] = q_priority_semi_counts
+ORACLES["priority_semi_counts"] = SQL_PRIORITY_SEMI_COUNTS
+
+
+# ------------------------------------------- table profiler (oracled)
+# The ANALYZE-TABLE primitive: one single-pass aggregate over the fact
+# table producing null counts, exact distinct counts, and min/max for
+# representative columns — the statistics every ingestion pipeline
+# publishes per shard. Map-side partial aggregation, one exchange, one
+# output row; at 100 TB the exact distincts would switch to the
+# distinct_hll sketch (same shape, mergeable).
+
+
+def q_profile_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_distinct"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.countDistinct("l_partkey").alias("part_distinct"),
+        F.countDistinct("l_returnflag").alias("flag_distinct"),
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.min(F.col("l_shipdate").cast("string")).alias("ship_min"),
+        F.max(F.col("l_shipdate").cast("string")).alias("ship_max"),
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+  SELECT count(*) AS n_rows,
+         CAST(count(*) - count(l_quantity) AS BIGINT) AS qty_nulls,
+         count(DISTINCT l_quantity) AS qty_distinct,
+         round(min(l_quantity), 2) AS qty_min,
+         round(max(l_quantity), 2) AS qty_max,
+         count(DISTINCT l_partkey) AS part_distinct,
+         count(DISTINCT l_returnflag) AS flag_distinct,
+         min(l_returnflag) AS flag_min,
+         max(l_returnflag) AS flag_max,
+         round(min(l_extendedprice), 2) AS price_min,
+         round(max(l_extendedprice), 2) AS price_max,
+         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS ship_min,
+         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS ship_max
+  FROM lineitem
+"""
+
+QUERIES["profile_lineitem"] = q_profile_lineitem
+ORACLES["profile_lineitem"] = SQL_PROFILE_LINEITEM
