@@ -89,3 +89,28 @@ def test_rollup_subtotals_consistent(spark, events_pd):
               if k[0] is not None and k[1] is not None]
     assert sum(v[0] for _, v in detail) == len(events_pd)
     assert len(cells) == (n_types + 1) * (len(hours) + 1)
+
+
+# ---- bucketization invariant (pure arithmetic, hypothesis) ----
+# q_range_join_intervals needs no pair dedup because each (interval,
+# point) pair can meet in AT MOST one bucket — the point lands in exactly
+# floor(t/B); correctness then reduces to "the interval's bucket range
+# covers floor(t/B) iff t might be in range, and the BETWEEN post-filter
+# decides exactly". Verified over arbitrary epoch seconds.
+
+from hypothesis import given, strategies as st
+
+from obiemachinelearningframework_spark.queries import RANGE_BUCKET_S
+
+
+@given(st.integers(min_value=0, max_value=10**10),
+       st.integers(min_value=-2 * RANGE_LEN_S, max_value=3 * RANGE_LEN_S))
+def test_bucketization_is_exact_and_duplicate_free(s, dt):
+    t = s + dt
+    B, L = RANGE_BUCKET_S, RANGE_LEN_S
+    interval_buckets = range(s // B, (s + L - 1) // B + 1)
+    meets = [b for b in interval_buckets if b == t // B]
+    assert len(meets) <= 1                       # never a duplicate pair
+    in_range = s <= t < s + L
+    if in_range:
+        assert len(meets) == 1                   # a true hit always meets
