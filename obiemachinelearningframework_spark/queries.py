@@ -4551,3 +4551,97 @@ SQL_PROFILE_LINEITEM = """
 
 QUERIES["profile_lineitem"] = q_profile_lineitem
 ORACLES["profile_lineitem"] = SQL_PROFILE_LINEITEM
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("join", "hash", "vector")
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-{BM25_TOPK} retrieval for a fixed query over the corpus —
+    the classic inverted-index ranking every retrieval/RAG pipeline needs
+    (Robertson/Sparck-Jones idf, Lucene's +1 smoothing). Plan at scale:
+    the token scan is filtered to the query terms BEFORE any aggregation
+    (a broadcast isin over a handful of literals), so the per-(doc, term)
+    tf aggregate and everything downstream is query-sized, not
+    corpus-sized; document length is the one full-scan aggregate and is
+    shared via a co-partitioned doc_id join; per-term df and the corpus
+    stats are single-digit-row broadcasts; the final top-k is
+    TakeOrderedAndProject (distributed heap per partition + driver merge
+    of k rows), NOT a global single-partition window sort. Per-term
+    weights are fixed to integer micros (round half-up at 6 dp) before
+    summing, so the doc score is an exact order-independent bigint sum —
+    no float summation-order drift between engines; only the shared
+    ln()-ulp convention of doc_tfidf_topk remains."""
+    t = _tokens(spark, sf_dir)
+    dlen = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        t.filter(F.col("token").isin(list(BM25_QUERY_TERMS)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfv = tf.groupBy("token").agg(F.count("*").alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    w_term = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfv), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w_micro", F.round(w_term * 1_000_000).cast("bigint")
+        )
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.sum("w_micro").alias("bm25_micro"),
+        F.count("*").alias("n_query_terms"),
+    )
+    top = doc.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25_micro", "n_query_terms", "rank"
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+SQL_BM25_TOPK = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dlen),
+  tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+  dfv AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+  scored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({BM25_K1} + 1)
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             * 1000000) AS BIGINT) AS w_micro
+    FROM tf JOIN dfv ON tf.token = dfv.token
+         JOIN dlen ON tf.doc_id = dlen.doc_id
+         CROSS JOIN stats),
+  doc AS (SELECT doc_id, sum(w_micro) AS bm25_micro,
+                 count(*) AS n_query_terms
+          FROM scored GROUP BY doc_id)
+  SELECT doc_id, CAST(bm25_micro AS BIGINT) AS bm25_micro, n_query_terms,
+         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM doc
+  ORDER BY rank
+  LIMIT {BM25_TOPK}
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = SQL_BM25_TOPK
