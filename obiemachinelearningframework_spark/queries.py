@@ -4563,48 +4563,63 @@ def q_bm25_topk(spark, sf_dir):
     """BM25 top-{BM25_TOPK} retrieval for a fixed query over the corpus —
     the classic inverted-index ranking every retrieval/RAG pipeline needs
     (Robertson/Sparck-Jones idf, Lucene's +1 smoothing). Plan at scale:
-    the token scan is filtered to the query terms BEFORE any aggregation
-    (a broadcast isin over a handful of literals), so the per-(doc, term)
-    tf aggregate and everything downstream is query-sized, not
-    corpus-sized; document length is the one full-scan aggregate and is
-    shared via a co-partitioned doc_id join; per-term df and the corpus
-    stats are single-digit-row broadcasts; the final top-k is
-    TakeOrderedAndProject (distributed heap per partition + driver merge
-    of k rows), NOT a global single-partition window sort. Per-term
-    weights are fixed to integer micros (round half-up at 6 dp) before
-    summing, so the doc score is an exact order-independent bigint sum —
-    no float summation-order drift between engines; only the shared
-    ln()-ulp convention of doc_tfidf_topk remains."""
-    t = _tokens(spark, sf_dir)
-    dlen = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dlen.agg(
-        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    the query-term list is a fixed handful of literals, so ONE pivoted
+    per-doc aggregation over the token scan produces the document length
+    AND every per-term tf in a single map-side-combinable pass — no
+    corpus-sized doc_id join for document length at all (the naive
+    tf-join-dlen plan carried 14 exchanges and a corpus-sized join; this
+    one has a single corpus-sized exchange). Per-term df / avgdl /
+    corpus size fold into ONE 1-row broadcast, scoring is a pure
+    projection, and the final top-k is TakeOrderedAndProject
+    (distributed heap per partition + driver merge of k rows), NOT a
+    global single-partition window sort. Per-term weights are fixed to
+    integer micros (round half-up at 6 dp) before summing, so the doc
+    score is an exact order-independent bigint sum — no float
+    summation-order drift between engines; only the shared ln()-ulp
+    convention of doc_tfidf_topk remains."""
+    terms = list(BM25_QUERY_TERMS)
+    per_doc = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("token") == q).cast("bigint")).alias(f"tf_{i}")
+            for i, q in enumerate(terms)
+        ],
     )
-    tf = (
-        t.filter(F.col("token").isin(list(BM25_QUERY_TERMS)))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfv = tf.groupBy("token").agg(F.count("*").alias("df"))
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-    w_term = (
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+
+    def w_micro(i):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        w = (
+            F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+            * tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
         )
-        * F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(dfv), "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "w_micro", F.round(w_term * 1_000_000).cast("bigint")
+        return F.when(
+            tf > 0, F.round(w * 1_000_000).cast("bigint")
+        ).otherwise(F.lit(0))
+
+    idx = range(len(terms))
+    doc = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            sum(
+                (w_micro(i) for i in idx), F.lit(0).cast("bigint")
+            ).alias("bm25_micro"),
+            sum(
+                ((F.col(f"tf_{i}") > 0).cast("bigint") for i in idx),
+                F.lit(0).cast("bigint"),
+            ).alias("n_query_terms"),
         )
-    )
-    doc = scored.groupBy("doc_id").agg(
-        F.sum("w_micro").alias("bm25_micro"),
-        F.count("*").alias("n_query_terms"),
+        .filter(F.col("n_query_terms") > 0)
     )
     top = doc.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(BM25_TOPK)
     w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
