@@ -85,6 +85,7 @@ HEADLINE = [
     "events_transitions",
     "priority_semi_counts",
     "profile_lineitem",
+    "bm25_topk",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))
