@@ -86,6 +86,8 @@ HEADLINE = [
     "priority_semi_counts",
     "profile_lineitem",
     "bm25_topk",
+    "chunk_pack",
+    "topk_cms",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -4660,3 +4660,197 @@ SQL_BM25_TOPK = f"""
 
 QUERIES["bm25_topk"] = q_bm25_topk
 ORACLES["bm25_topk"] = SQL_BM25_TOPK
+
+
+CHUNK_TOKENS = 256      # tokens per training window
+PACK_BUCKET_DOCS = 64   # docs per prefix-sum bucket (see scale note)
+
+
+def q_chunk_pack(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing — the standard pretraining
+    step that lays all documents end-to-end in doc_id order and cuts
+    fixed {CHUNK_TOKENS}-token training windows; each doc reports the
+    window range it lands in and whether it straddles a cut. The core is
+    a corpus-wide prefix sum over a total order, which is exactly the
+    operator a naive plan gets wrong at scale (one global window = ALL
+    rows through a single partition). Here it is a two-level bucket
+    prefix sum built only from deterministic columns: docs fold into
+    ordered buckets (floor(doc_id / {PACK_BUCKET_DOCS})), per-bucket
+    sums produce bucket offsets via a window over the BOUNDED bucket
+    table (row count = corpus / bucket size; production sizes the
+    bucket so this is ~sqrt(N) rows, or recurses one more level),
+    offsets ride a broadcast back, and the intra-bucket cumsum is an
+    ordinary partitioned window. The result is the unique prefix sum of
+    the global doc_id order — independent of partitioning, so the plain
+    single-window DuckDB oracle must match it exactly."""
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket", F.floor(F.col("doc_id") / PACK_BUCKET_DOCS)
+        )
+    )
+    bsums = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bsums.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("offset"),
+    )
+    wi = W.partitionBy("bucket").orderBy("doc_id")
+    cum = (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_end", F.col("offset") + F.sum("n_tokens").over(wi))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    first = F.floor(F.col("cum_start") / CHUNK_TOKENS)
+    last = F.floor((F.col("cum_end") - 1) / CHUNK_TOKENS)
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_start").cast("bigint").alias("cum_start"),
+        first.cast("bigint").alias("first_chunk"),
+        last.cast("bigint").alias("last_chunk"),
+        (first != last).cast("int").alias("spans_boundary"),
+    )
+
+
+SQL_CHUNK_PACK = f"""
+  WITH d AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_tokens
+    FROM documents),
+  c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_end
+    FROM d WHERE n_tokens > 0)
+  SELECT doc_id, n_tokens,
+         CAST(cum_end - n_tokens AS BIGINT) AS cum_start,
+         CAST((cum_end - n_tokens) // {CHUNK_TOKENS} AS BIGINT)
+           AS first_chunk,
+         CAST((cum_end - 1) // {CHUNK_TOKENS} AS BIGINT) AS last_chunk,
+         CAST((cum_end - n_tokens) // {CHUNK_TOKENS}
+              <> (cum_end - 1) // {CHUNK_TOKENS} AS INT) AS spans_boundary
+  FROM c
+"""
+
+QUERIES["chunk_pack"] = q_chunk_pack
+ORACLES["chunk_pack"] = SQL_CHUNK_PACK
+
+
+CMS_D = 4     # hash rows
+CMS_W = 256   # buckets per row
+CMS_TOPK = 10
+
+
+def q_topk_cms(spark, sf_dir):
+    """Count-min-sketch frequency estimation for the exact top-{CMS_TOPK}
+    tokens — the sketch that answers "how often does X occur" over a
+    10^12-row corpus with {CMS_D}x{CMS_W} integers of state instead of a
+    corpus-wide exact count per key. Each occurrence increments one
+    bucket per hash row (bucket = 32-bit md5 prefix of "row:token" mod
+    {CMS_W} — the engine-portable ascii recipe of distinct_hll); the
+    estimate is the min over rows, which can only OVERcount (collisions
+    add, never subtract), so est >= exact is an invariant the test pins.
+    The sketch build is one exploded aggregate to a fixed
+    {CMS_D}*{CMS_W}-row state; the exact side exists only to pick the
+    candidates and report the error, and would be dropped (or sampled)
+    in production. Everything is integer arithmetic — hash-identical
+    across engines and partitionings."""
+    def h32(col):
+        hexval = (
+            lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, 87).otherwise(48)
+        )
+        out = None
+        for i in range(8):
+            term = hexval(F.substring(col, i + 1, 1)).cast("long") * (
+                16 ** (7 - i)
+            )
+            out = term if out is None else out + term
+        return out
+
+    t = _tokens(spark, sf_dir)
+    exact = t.groupBy("token").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(CMS_TOPK)
+    rows = F.explode(
+        F.array([F.lit(i) for i in range(CMS_D)])
+    ).alias("r")
+    sketch = (
+        t.select("token", rows)
+        .select(
+            "r",
+            (
+                h32(F.md5(F.concat_ws(":", F.col("r").cast("string"),
+                                      F.col("token"))))
+                % CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = top.select("token", "n_exact", rows).select(
+        "token",
+        "n_exact",
+        "r",
+        (
+            h32(F.md5(F.concat_ws(":", F.col("r").cast("string"),
+                                  F.col("token"))))
+            % CMS_W
+        ).alias("bucket"),
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+        .select(
+            "token",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def _cms_h32_sql(expr):
+    return " + ".join(
+        f"CAST(ascii(substring({expr}, {i + 1}, 1)) - CASE WHEN "
+        f"ascii(substring({expr}, {i + 1}, 1)) >= 97 THEN 87 ELSE 48 END "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+SQL_TOPK_CMS = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  exact AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY token),
+  top AS (SELECT token, n_exact FROM exact
+          ORDER BY n_exact DESC, token ASC LIMIT {CMS_TOPK}),
+  occ AS (SELECT token, r FROM toks
+          CROSS JOIN (SELECT unnest(range({CMS_D})) AS r)),
+  hashed AS (
+    SELECT r, {_cms_h32_sql("md5(CAST(r AS VARCHAR) || ':' || token)")}
+             % {CMS_W} AS bucket
+    FROM occ),
+  sketch AS (SELECT r, bucket, count(*) AS cnt
+             FROM hashed GROUP BY r, bucket),
+  cand AS (
+    SELECT token, n_exact, r,
+           {_cms_h32_sql("md5(CAST(r AS VARCHAR) || ':' || token)")}
+             % {CMS_W} AS bucket
+    FROM top CROSS JOIN (SELECT unnest(range({CMS_D})) AS r))
+  SELECT cand.token, CAST(n_exact AS BIGINT) AS n_exact,
+         CAST(min(cnt) AS BIGINT) AS n_est,
+         CAST(min(cnt) - n_exact AS BIGINT) AS overcount
+  FROM cand JOIN sketch ON cand.r = sketch.r AND cand.bucket = sketch.bucket
+  GROUP BY cand.token, n_exact
+"""
+
+QUERIES["topk_cms"] = q_topk_cms
+ORACLES["topk_cms"] = SQL_TOPK_CMS
