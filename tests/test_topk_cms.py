@@ -18,7 +18,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _bucket(r: int, token: str) -> int:
-    h = hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:8]
+    # all CMS_D row-hashes come from slices of ONE md5 digest
+    h = hashlib.md5(token.encode()).hexdigest()[8 * r : 8 * r + 8]
     return int(h, 16) % CMS_W
 
 
