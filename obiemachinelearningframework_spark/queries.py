@@ -4750,6 +4750,18 @@ CMS_W = 256   # buckets per row
 CMS_TOPK = 10
 
 
+def cms_bucket_array(md5_col):
+    """{CMS_D} count-min bucket ids from one md5 hex digest: disjoint
+    8-hex slices, each mod {CMS_W}. Shared by the batch query below and
+    the streaming merge (streaming/cms_stream.py) so both sides bucket
+    identically by construction."""
+    return F.array(*[
+        F.conv(F.substring(md5_col, 8 * r + 1, 8), 16, 10).cast("long")
+        % CMS_W
+        for r in range(CMS_D)
+    ])
+
+
 def q_topk_cms(spark, sf_dir):
     """Count-min-sketch frequency estimation for the exact top-{CMS_TOPK}
     tokens — the sketch that answers "how often does X occur" over a
@@ -4770,13 +4782,7 @@ def q_topk_cms(spark, sf_dir):
     only to pick the candidates and report the error, and would be
     dropped (or sampled) in production. Everything is integer
     arithmetic — hash-identical across engines and partitionings."""
-    def buckets(col):
-        return F.array(*[
-            F.conv(F.substring(col, 8 * r + 1, 8), 16, 10).cast("long")
-            % CMS_W
-            for r in range(CMS_D)
-        ])
-
+    buckets = cms_bucket_array
     t = _tokens(spark, sf_dir)
     exact = t.groupBy("token").agg(F.count("*").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(CMS_TOPK)

@@ -1,0 +1,87 @@
+"""Streaming CMS (streaming/cms_stream.py): the running sketch merged
+across micro-batch drains must equal the batch sketch of all documents
+at rest EXACTLY (mergeability: counters add, merging loses nothing),
+estimates must match the pure-Python sketch, and a re-drain with no new
+files must not change the state (exactly-once).
+"""
+
+import datetime
+import hashlib
+from collections import Counter
+
+from obiemachinelearningframework_spark.queries import CMS_D, CMS_W
+from obiemachinelearningframework_spark.streaming.cms_stream import (
+    batch_sketch,
+    estimate,
+    read_sketch,
+    stream_cms,
+)
+from obiemachinelearningframework_spark.streaming.dedup_stream import DOC_SCHEMA
+
+T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+BATCH1 = [
+    (1, "join hash join vector", "en", "web", T0),
+    (2, "hash table scan", "en", "web", T0),
+]
+BATCH2 = [
+    (3, "join join join scan", "en", "crawl", T0),
+    (4, "vector vector hash", "en", "crawl", T0),
+]
+
+
+def _bucket(r: int, token: str) -> int:
+    h = hashlib.md5(token.encode()).hexdigest()[8 * r : 8 * r + 8]
+    return int(h, 16) % CMS_W
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_cms_merge_is_exact(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    _write(spark, BATCH1, in_dir)
+    stream_cms(spark, in_dir, state, ck)
+    _write(spark, BATCH2, in_dir)
+    stream_cms(spark, in_dir, state, ck)
+
+    merged = {
+        (r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()
+    }
+    at_rest = {
+        (r.r, r.bucket): r.cnt
+        for r in batch_sketch(
+            spark.createDataFrame(BATCH1 + BATCH2, DOC_SCHEMA)
+        ).collect()
+    }
+    assert merged == at_rest  # mergeability: merge loses nothing
+    assert len(merged) <= CMS_D * CMS_W
+
+    # estimates match the pure-Python sketch and never undercount
+    counts = Counter(
+        t for _, text, *_ in BATCH1 + BATCH2 for t in text.split(" ") if t
+    )
+    sketch = [Counter() for _ in range(CMS_D)]
+    for token, n in counts.items():
+        for r in range(CMS_D):
+            sketch[r][_bucket(r, token)] += n
+    got = estimate(
+        read_sketch(spark, state), ["join", "hash", "vector", "missing"]
+    )
+    for token in ("join", "hash", "vector"):
+        want = min(sketch[r][_bucket(r, token)] for r in range(CMS_D))
+        assert got[token] == want >= counts[token]
+    assert got["missing"] <= 1  # unseen token: only collision mass
+
+    # exactly-once: a re-drain with no new files leaves the state as-is
+    stream_cms(spark, in_dir, state, ck)
+    again = {
+        (r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()
+    }
+    assert again == merged
