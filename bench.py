@@ -88,6 +88,10 @@ HEADLINE = [
     "bm25_topk",
     "chunk_pack",
     "topk_cms",
+    "decontaminate_bloom",
+    "license_detect",
+    "code_vendored_filter",
+    "kg_bfs_hops",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

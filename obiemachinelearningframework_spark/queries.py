@@ -16,6 +16,8 @@ Conventions:
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -4852,3 +4854,373 @@ SQL_TOPK_CMS = f"""
 
 QUERIES["topk_cms"] = q_topk_cms
 ORACLES["topk_cms"] = SQL_TOPK_CMS
+
+
+# ----------------------------------- bloom-prefiltered decontamination
+# The scale form of `decontaminate`: the exact form shuffles every corpus
+# shingle into the (broadcast) snippet join, which is wasted motion when
+# >99.99% of a 10^12-doc corpus is clean. Here the benchmark set is
+# folded into a BLOOM_M-bit / BLOOM_K-hash Bloom filter that rides into
+# the scan as ONE string literal, so membership is tested map-side inside
+# whole-stage codegen (substr into the literal bitmap — no UDF, no array
+# literal, no broadcast variable) and only bloom-POSITIVE shingles reach
+# the exact verify join. Bloom filters have no false negatives, and the
+# exact join removes the false positives, so the result is IDENTICAL to
+# the exact plan — which is exactly what the oracle runs (no bloom).
+# tests/test_decon_bloom.py pins the prefilter selectivity (<2% of
+# shingles admitted at the fixture scale) so the pruning is real, not
+# just asserted.
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3     # hash rows (disjoint md5 hex slices, like the CMS)
+
+
+def _bloom_positions_py(shingle: str) -> list:
+    h = hashlib.md5(shingle.encode()).hexdigest()
+    return [int(h[8 * j : 8 * j + 8], 16) % BLOOM_M for j in range(BLOOM_K)]
+
+
+def _bloom_bits() -> str:
+    bits = ["0"] * BLOOM_M
+    for _sid, sh in _snippet_shingles():
+        for p in _bloom_positions_py(sh):
+            bits[p] = "1"
+    return "".join(bits)
+
+
+def bloom_member(shingle_col):
+    """JVM-side Bloom membership of ``shingle_col`` in the benchmark-set
+    filter: all BLOOM_K bit positions (md5 hex slices mod BLOOM_M) must be
+    set in the literal bitmap."""
+    bitmap = F.lit(_bloom_bits())
+    h = F.md5(shingle_col)
+    cond = F.lit(True)
+    for j in range(BLOOM_K):
+        pos = (
+            F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long")
+            % BLOOM_M
+        ).cast("int")
+        cond = cond & (bitmap.substr(pos + 1, F.lit(1)) == "1")
+    return cond
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).filter(bloom_member(F.col("shingle")))
+    snips = spark.createDataFrame(_snippet_shingles(), ["snippet_id", "shingle"])
+    return (
+        sh.join(F.broadcast(snips), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("snippet_id").alias("n_snippets"),
+            F.count("*").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+
+
+SQL_DECONTAMINATE_BLOOM = f"""
+  WITH sh AS ({_SHINGLES_SQL}),
+  snips(snippet_id, shingle) AS (VALUES {_SNIPPET_SHINGLES_SQL})
+  SELECT doc_id, count(DISTINCT snippet_id) AS n_snippets,
+         count(*) AS n_hits, min(pos) AS first_pos
+  FROM sh JOIN snips USING (shingle)
+  GROUP BY doc_id
+"""
+
+QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+ORACLES["decontaminate_bloom"] = SQL_DECONTAMINATE_BLOOM
+
+
+# ------------------------------------------------ license detection (oracled)
+# Compliance gate of every source-code training pipeline (The Stack /
+# StarCoder lineage): classify each file by license marker, roll up per
+# repo. The marker table folds into the projection as a literal
+# array-of-structs, so per-file classification (match + priority argmin)
+# is MAP-ONLY — a 10^12-file corpus scans once and the only exchange is
+# the per-repo rollup on the repo key, partial-aggregated map-side.
+# Multi-marker files resolve by priority via array_min over
+# (prio, license, family) structs, the argmin idiom that needs no
+# window. Testdata text is word-soup, so both engines prepend the same
+# deterministic doc_id-derived header (the operator under test is the
+# marker join + argmin + rollup, not the synthesis); over a real (repo,
+# path, content) table the synthesis column disappears and the plan is
+# identical.
+
+LICENSE_PATTERNS = [
+    # (license, marker, family, priority) — priority resolves multi-match
+    ("gpl-3.0", "GNU General Public License", "copyleft", 1),
+    ("apache-2.0", "Licensed under the Apache License", "permissive", 2),
+    ("mit", "Permission is hereby granted", "permissive", 3),
+    ("bsd-3-clause", "Redistribution and use in source and binary forms",
+     "permissive", 4),
+]
+
+_LICENSE_HEADERS = {0: 2, 1: 1, 2: 0, 3: 3}  # doc_id % 5 -> pattern index; 4 -> none
+
+
+def _license_header_col():
+    c = F.when(F.lit(False), F.lit(""))
+    for rem, idx in _LICENSE_HEADERS.items():
+        c = c.when(F.col("doc_id") % 5 == rem, F.lit(LICENSE_PATTERNS[idx][1]))
+    return c.otherwise(F.lit(""))
+
+
+def q_license_detect(spark, sf_dir):
+    files = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(_license_header_col(), F.lit(" "), F.col("text")).alias("content"),
+    )
+    # the marker table is 4 rows, so it rides as an array-of-structs
+    # LITERAL and the argmin (min over (prio, license, family) structs of
+    # the matching markers) happens IN the projection — per-file
+    # classification is map-only and the sole exchange in the query is
+    # the tiny per-repo rollup. (With a large/dynamic marker table the
+    # same semantics are a broadcast contains()-join + min(struct) agg —
+    # that form costs an extra corpus-sized doc-keyed exchange.)
+    pat_arr = F.array(*[
+        F.struct(
+            F.lit(p).alias("prio"), F.lit(l).alias("license"),
+            F.lit(fam).alias("family"), F.lit(m).alias("marker"),
+        )
+        for l, m, fam, p in LICENSE_PATTERNS
+    ])
+    best = F.array_min(
+        F.filter(pat_arr, lambda x: F.col("content").contains(x["marker"]))
+    )
+    per_file = files.select(
+        "repo",
+        F.coalesce(best["license"], F.lit("unlicensed")).alias("license"),
+        F.coalesce(best["family"], F.lit("unknown")).alias("family"),
+    )
+    return per_file.groupBy("repo", "license", "family").agg(
+        F.count("*").alias("n_files")
+    )
+
+
+_LICENSE_PATTERNS_SQL = ", ".join(
+    f"('{l}', '{m}', '{f}', {p})" for l, m, f, p in LICENSE_PATTERNS
+)
+_LICENSE_HEADER_CASE = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+    f"WHEN {rem} THEN '{LICENSE_PATTERNS[idx][1]}'"
+    for rem, idx in _LICENSE_HEADERS.items()
+) + " ELSE '' END"
+
+SQL_LICENSE_DETECT = f"""
+  WITH pats(license, marker, family, prio) AS (VALUES {_LICENSE_PATTERNS_SQL}),
+  files AS (
+    SELECT doc_id, source AS repo,
+           {_LICENSE_HEADER_CASE} || ' ' || text AS content
+    FROM documents),
+  hits AS (
+    SELECT f.doc_id, f.repo, p.license, p.family, p.prio
+    FROM files f LEFT JOIN pats p ON contains(f.content, p.marker)),
+  best AS (
+    SELECT doc_id, repo,
+           coalesce(arg_min(license, prio), 'unlicensed') AS license,
+           coalesce(arg_min(family, prio), 'unknown') AS family
+    FROM hits GROUP BY doc_id, repo)
+  SELECT repo, license, family, count(*) AS n_files
+  FROM best GROUP BY repo, license, family
+"""
+
+QUERIES["license_detect"] = q_license_detect
+ORACLES["license_detect"] = SQL_LICENSE_DETECT
+
+
+# ------------------------------------- vendored / generated filter (oracled)
+# The StarCoder-style code-curation gate: drop vendored trees
+# (vendor/, node_modules/), generated artifacts (gen/ dirs, *.min.js,
+# '@generated' markers), and minified shapes (a line longer than
+# MINIFIED_LINE_CHARS), in that PRIORITY order. The WHOLE gate is one
+# map-only projection over the scan — path prefix + marker contains are
+# codegen, and the line check is array-side (no explode, no doc-keyed
+# exchange, no join back): ZERO exchanges total. Path and marker are
+# doc_id-derived on the word-soup testdata (identical on both engines);
+# over a real (repo, path, content) table only the two synthesis columns
+# change.
+
+_VENDOR_DIRS = ["src", "lib", "vendor", "node_modules", "dist", "test", "gen"]
+_VENDOR_EXTS = [".py", ".js", ".min.js"]
+GENERATED_MARKER = "@generated by codegen"
+MINIFIED_LINE_CHARS = 50  # own knob: a *filter* needs survivors; 40 (the
+                          # metrics report threshold) would drop ~99% here
+
+
+def q_code_vendored_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dir_c = F.when(F.lit(False), F.lit(""))
+    for i, dirname in enumerate(_VENDOR_DIRS):
+        dir_c = dir_c.when(F.col("doc_id") % 7 == i, F.lit(dirname))
+    ext_c = F.when(F.lit(False), F.lit(""))
+    for i, ext in enumerate(_VENDOR_EXTS):
+        ext_c = ext_c.when(F.col("doc_id") % 3 == i, F.lit(ext))
+    files = d.select(
+        "doc_id",
+        "text",
+        F.concat(dir_c.otherwise(F.lit("")), F.lit("/f_"),
+                 F.col("doc_id").cast("string"), ext_c.otherwise(F.lit(""))).alias("path"),
+        F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit(GENERATED_MARKER + " "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("content"),
+    )
+    # line lengths are computed ARRAY-SIDE inside the same projection
+    # (tokens sliced into LINE_TOKENS-sized lines, chars = token lengths
+    # + separators — dedup_paragraph's segmentation idiom), so the whole
+    # filter is ONE map-only stage: no explode, no doc-keyed exchange, no
+    # join back. Over real content this collapses further to
+    # array_max(transform(split(content, '\n'), length)).
+    files = files.withColumn(
+        "arr", F.expr("filter(split(text, ' '), x -> x <> '')")
+    ).withColumn(
+        "max_line_chars",
+        F.array_max(
+            F.expr(
+                "transform("
+                f"  sequence(0, cast(ceil(size(arr) / {LINE_TOKENS}.0) as int) - 1),"
+                f"  i -> aggregate(slice(arr, i * {LINE_TOKENS} + 1, {LINE_TOKENS}),"
+                "                  0L, (acc, t) -> acc + length(t))"
+                f"       + size(slice(arr, i * {LINE_TOKENS} + 1, {LINE_TOKENS})) - 1)"
+            )
+        ),
+    )
+    verdict = (
+        F.when(
+            F.col("path").startswith("vendor/")
+            | F.col("path").startswith("node_modules/"),
+            F.lit("vendored"),
+        )
+        .when(
+            F.col("path").startswith("gen/")
+            | F.col("path").startswith("dist/")
+            | F.col("path").endswith(".min.js")
+            | F.col("content").contains(GENERATED_MARKER),
+            F.lit("generated"),
+        )
+        .when(F.col("max_line_chars") > MINIFIED_LINE_CHARS, F.lit("minified"))
+        .otherwise(F.lit("keep"))
+    )
+    return files.select(
+        "doc_id", "path", verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("keep"),
+    )
+
+
+_VENDOR_DIR_CASE = "CASE CAST(doc_id % 7 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{d}'" for i, d in enumerate(_VENDOR_DIRS)
+) + " ELSE '' END"
+_VENDOR_EXT_CASE = "CASE CAST(doc_id % 3 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{e}'" for i, e in enumerate(_VENDOR_EXTS)
+) + " ELSE '' END"
+
+SQL_CODE_VENDORED_FILTER = f"""
+  WITH ml AS (
+    SELECT doc_id,
+           list_max(list_transform(
+             range(0, CAST(ceil(len(arr) / {LINE_TOKENS}.0) AS INT)),
+             i -> list_aggregate(list_transform(
+                    list_slice(arr, i * {LINE_TOKENS} + 1, i * {LINE_TOKENS} + {LINE_TOKENS}),
+                    t -> len(t)), 'sum')
+                  + len(list_slice(arr, i * {LINE_TOKENS} + 1, i * {LINE_TOKENS} + {LINE_TOKENS})) - 1))
+             AS max_line_chars
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+          FROM documents)),
+  files AS (
+    SELECT doc_id,
+           {_VENDOR_DIR_CASE} || '/f_' || CAST(doc_id AS VARCHAR)
+             || {_VENDOR_EXT_CASE} AS path,
+           CASE WHEN doc_id % 11 = 0 THEN '{GENERATED_MARKER} ' ELSE '' END
+             || text AS content
+    FROM documents),
+  v AS (
+    SELECT f.doc_id, f.path,
+           CASE
+             WHEN starts_with(path, 'vendor/') OR starts_with(path, 'node_modules/')
+               THEN 'vendored'
+             WHEN starts_with(path, 'gen/') OR starts_with(path, 'dist/') OR path LIKE '%.min.js'
+                  OR contains(content, '{GENERATED_MARKER}')
+               THEN 'generated'
+             WHEN max_line_chars > {MINIFIED_LINE_CHARS} THEN 'minified'
+             ELSE 'keep'
+           END AS verdict
+    FROM files f JOIN ml ON f.doc_id = ml.doc_id)
+  SELECT doc_id, path, verdict,
+         CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS keep
+  FROM v
+"""
+
+QUERIES["code_vendored_filter"] = q_code_vendored_filter
+ORACLES["code_vendored_filter"] = SQL_CODE_VENDORED_FILTER
+
+
+# --------------------------------------------- bounded BFS hops (oracled)
+# Seed-set reachability over the materialized KG: min-hop distance from
+# the System-type entities within BFS_MAX_HOPS, the neighborhood-
+# expansion primitive behind "pull everything within k hops of these
+# entities" KG queries. The Spark side is the PRODUCTION frontier form:
+# each hop joins only the frontier (nodes discovered last round, shrunk
+# by an anti-join against the visited set) against the edge table, so a
+# hop's cost is frontier-sized, never graph-sized, and re-expansion of
+# already-settled nodes — the thing that blows up naive unrolled BFS on a
+# dense graph — cannot happen. The edge table is localCheckpointed once
+# and rescanned per hop (the kg_pagerank/canonicalize lineage-cut
+# pattern). The oracle is the equivalent unrolled min-dist form (h0..h3
+# CTEs, min over the union), which provably computes the same map; the
+# green row pins frontier-BFS == unrolled-BFS.
+
+BFS_MAX_HOPS = 3
+BFS_SEEDS = ["spark", "query"]  # the System-type dictionary entities
+
+
+def q_kg_bfs_hops(spark, sf_dir):
+    t = q_triples_kg(spark, sf_dir)
+    und = t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    edges = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = spark.createDataFrame(
+        [(s, 0) for s in BFS_SEEDS], ["node", "dist"]
+    )
+    frontier = visited.select("node")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+_BFS_SEEDS_SQL = ", ".join(f"('{s}')" for s in BFS_SEEDS)
+
+SQL_KG_BFS_HOPS = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     token AS obj
+              FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT subj AS a, obj AS b FROM triples
+            UNION SELECT obj AS a, subj AS b FROM triples),
+  h0(node) AS (VALUES {_BFS_SEEDS_SQL}),
+  h1 AS (SELECT DISTINCT e.b AS node FROM h0 JOIN edges e ON h0.node = e.a),
+  h2 AS (SELECT DISTINCT e.b AS node FROM h1 JOIN edges e ON h1.node = e.a),
+  h3 AS (SELECT DISTINCT e.b AS node FROM h2 JOIN edges e ON h2.node = e.a),
+  all_hops AS (
+    SELECT node, 0 AS dist FROM h0
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3)
+  SELECT node, CAST(min(dist) AS INT) AS dist FROM all_hops GROUP BY node
+"""
+
+QUERIES["kg_bfs_hops"] = q_kg_bfs_hops
+ORACLES["kg_bfs_hops"] = SQL_KG_BFS_HOPS

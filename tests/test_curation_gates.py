@@ -1,0 +1,120 @@
+"""Code-curation gates (queries.py): bloom-prefiltered decontamination,
+license detection priority, vendored/generated filter priority, and
+bounded BFS — the semantics the DuckDB oracles can't see (prefilter
+selectivity, rule precedence on adversarial content, frontier-BFS vs an
+independent pure-Python BFS).
+"""
+
+from collections import deque
+
+from pyspark.sql import functions as F
+
+from obiemachinelearningframework_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mini_docs(spark, rows):
+    """documents-shaped frame: (doc_id, text, lang, source, n_chars)."""
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "mini")
+    _mini_docs(spark, rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def test_bloom_prefilter_prunes_without_losing_hits(spark):
+    """The bloom gate must admit every true contaminated shingle (no
+    false negatives — the decontamination guarantee) while pruning the
+    overwhelming majority of clean shingles map-side."""
+    sh = Q._shingles(spark, SF)
+    total = sh.count()
+    admitted = sh.filter(Q.bloom_member(F.col("shingle"))).count()
+    # every benchmark shingle passes its own filter (false-negative-free)
+    snips = spark.createDataFrame(
+        Q._snippet_shingles(), ["snippet_id", "shingle"]
+    )
+    assert snips.filter(~Q.bloom_member(F.col("shingle"))).count() == 0
+    # and the prefilter actually prunes: <2% of corpus shingles admitted
+    assert admitted / total < 0.02, (admitted, total)
+    # end result identical to the exact (no-bloom) aggregation
+    exact = (
+        sh.join(F.broadcast(snips), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("snippet_id").alias("n_snippets"),
+            F.count("*").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+    got = {r.doc_id: (r.n_snippets, r.n_hits, r.first_pos)
+           for r in Q.q_decontaminate_bloom(spark, SF).collect()}
+    want = {r.doc_id: (r.n_snippets, r.n_hits, r.first_pos)
+            for r in exact.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_license_priority_resolves_multimarker_files(spark, tmp_path):
+    """A file carrying BOTH a permissive header (synthesized: doc_id%5==1
+    -> Apache) and GPL text in its body must classify as gpl-3.0 — the
+    copyleft marker has priority 1 and min(struct(prio, ...)) must pick
+    it. doc 4 (%5==4) gets no header and clean text -> unlicensed."""
+    d = _write_docs(spark, tmp_path, [
+        (1, "this file also contains the GNU General Public License text"),
+        (4, "plain code with no license header at all"),
+    ])
+    got = {
+        (r.license, r.family): r.n_files
+        for r in Q.q_license_detect(spark, d).collect()
+    }
+    assert got == {("gpl-3.0", "copyleft"): 1, ("unlicensed", "unknown"): 1}
+
+
+def test_vendored_priority_over_generated_and_minified(spark, tmp_path):
+    """doc 44: %7==2 -> vendor/ AND %11==0 -> @generated marker AND a
+    >MINIFIED_LINE_CHARS line; 'vendored' must win (rule order). doc 33:
+    %7==5 -> test/, %11==0 -> marker -> 'generated'. doc 15: %7==1 ->
+    lib/, ext .py, short lines, no marker -> 'keep'."""
+    long_text = " ".join(["x" * 9] * Q.LINE_TOKENS)  # one ~80-char line
+    d = _write_docs(spark, tmp_path, [
+        (44, long_text),
+        (33, "short toks only"),
+        (15, "short toks only"),
+    ])
+    got = {r.doc_id: (r.verdict, r.keep)
+           for r in Q.q_code_vendored_filter(spark, d).collect()}
+    assert got == {
+        44: ("vendored", 0),
+        33: ("generated", 0),
+        15: ("keep", 1),
+    }
+
+
+def test_bfs_matches_pure_python_bfs(spark):
+    """Frontier anti-join BFS == an independent queue BFS on the collected
+    edge set (the oracle already pins it against the unrolled-CTE form;
+    this pins it against a third, non-relational implementation)."""
+    triples = Q.q_triples_kg(spark, SF).collect()
+    adj = {}
+    for r in triples:
+        adj.setdefault(r.subj, set()).add(r.obj)
+        adj.setdefault(r.obj, set()).add(r.subj)
+    dist = {s: 0 for s in Q.BFS_SEEDS}
+    queue = deque(Q.BFS_SEEDS)
+    while queue:
+        n = queue.popleft()
+        if dist[n] >= Q.BFS_MAX_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                queue.append(m)
+    got = {r.node: r.dist for r in Q.q_kg_bfs_hops(spark, SF).collect()}
+    assert got == dist and max(dist.values()) == Q.BFS_MAX_HOPS
