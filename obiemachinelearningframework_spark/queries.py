@@ -4857,50 +4857,63 @@ ORACLES["topk_cms"] = SQL_TOPK_CMS
 
 
 # ----------------------------------- bloom-prefiltered decontamination
-# The scale form of `decontaminate`: the exact form shuffles every corpus
-# shingle into the (broadcast) snippet join, which is wasted motion when
-# >99.99% of a 10^12-doc corpus is clean. Here the benchmark set is
-# folded into a BLOOM_M-bit / BLOOM_K-hash Bloom filter that rides into
-# the scan as ONE string literal, so membership is tested map-side inside
-# whole-stage codegen (substr into the literal bitmap — no UDF, no array
+# The large-benchmark form of `decontaminate`: with a tiny snippet set
+# the exact plan is already a broadcast map-side join, but a REAL
+# decontamination set (every eval suite's shingles — millions of rows)
+# no longer fits a broadcast hash table, and the exact join degrades to
+# a corpus-wide shuffle on the shingle key. A Bloom filter stays
+# megabytes at any benchmark size; here it rides into the scan as ONE
+# string literal so membership is tested map-side inside whole-stage
+# codegen (substr probes into the literal bitmap — no UDF, no array
 # literal, no broadcast variable) and only bloom-POSITIVE shingles reach
-# the exact verify join. Bloom filters have no false negatives, and the
-# exact join removes the false positives, so the result is IDENTICAL to
-# the exact plan — which is exactly what the oracle runs (no bloom).
-# tests/test_decon_bloom.py pins the prefilter selectivity (<2% of
+# the exact verify join, i.e. the big shuffle runs over ~0% of the
+# corpus. Hashes are crc32 with per-probe prefixes (cheaper than md5 and
+# reproducible in any engine via zlib.crc32); the K probes short-circuit
+# left-to-right in codegen, so the common clean row pays ONE crc32. The
+# bitmap literal is BINARY, not string, deliberately: substring on a
+# string literal counts UTF-8 code points and is O(position) PER ROW
+# (measured: the whole filter 1.7s vs 0.5s at sf0.1's 260k shingles),
+# while binary substring is byte-indexed O(1).
+# Bloom filters have no false negatives, and the exact join removes the
+# false positives, so the result is IDENTICAL to the exact plan — which
+# is exactly what the oracle runs (no bloom).
+# tests/test_curation_gates.py pins the prefilter selectivity (<2% of
 # shingles admitted at the fixture scale) so the pruning is real, not
 # just asserted.
 
 BLOOM_M = 4096  # bits
-BLOOM_K = 3     # hash rows (disjoint md5 hex slices, like the CMS)
+BLOOM_K = 3     # probes (crc32 with prefixes "0:", "1:", "2:")
 
 
 def _bloom_positions_py(shingle: str) -> list:
-    h = hashlib.md5(shingle.encode()).hexdigest()
-    return [int(h[8 * j : 8 * j + 8], 16) % BLOOM_M for j in range(BLOOM_K)]
+    import zlib
+
+    return [
+        zlib.crc32(f"{j}:{shingle}".encode()) % BLOOM_M
+        for j in range(BLOOM_K)
+    ]
 
 
-def _bloom_bits() -> str:
-    bits = ["0"] * BLOOM_M
+def _bloom_bits() -> bytes:
+    bits = bytearray(b"0" * BLOOM_M)
     for _sid, sh in _snippet_shingles():
         for p in _bloom_positions_py(sh):
-            bits[p] = "1"
-    return "".join(bits)
+            bits[p] = ord("1")
+    return bytes(bits)
 
 
 def bloom_member(shingle_col):
     """JVM-side Bloom membership of ``shingle_col`` in the benchmark-set
-    filter: all BLOOM_K bit positions (md5 hex slices mod BLOOM_M) must be
-    set in the literal bitmap."""
+    filter: all BLOOM_K bit positions (prefixed crc32 mod BLOOM_M) must
+    be set in the literal BINARY bitmap (byte-indexed O(1) substr)."""
     bitmap = F.lit(_bloom_bits())
-    h = F.md5(shingle_col)
     cond = F.lit(True)
     for j in range(BLOOM_K):
         pos = (
-            F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long")
+            F.crc32(F.concat(F.lit(f"{j}:"), shingle_col).cast("binary"))
             % BLOOM_M
         ).cast("int")
-        cond = cond & (bitmap.substr(pos + 1, F.lit(1)) == "1")
+        cond = cond & (bitmap.substr(pos + 1, F.lit(1)) == F.lit(b"1"))
     return cond
 
 
