@@ -92,6 +92,7 @@ HEADLINE = [
     "license_detect",
     "code_vendored_filter",
     "kg_bfs_hops",
+    "repo_fork_overlap",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

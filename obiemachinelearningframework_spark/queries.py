@@ -5190,10 +5190,15 @@ BFS_SEEDS = ["spark", "query"]  # the System-type dictionary entities
 def q_kg_bfs_hops(spark, sf_dir):
     t = q_triples_kg(spark, sf_dir)
     und = t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    # eager=False: the checkpoint still guarantees each hop's result is
+    # computed once (cut lineage, no re-expansion), but the
+    # materializations all happen inside the single final action instead
+    # of one driver-blocking job per hop (~0.4s saved at sf0.1 locally;
+    # at cluster scale it removes per-hop scheduling barriers).
     edges = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     visited = spark.createDataFrame(
         [(s, 0) for s in BFS_SEEDS], ["node", "dist"]
@@ -5206,7 +5211,7 @@ def q_kg_bfs_hops(spark, sf_dir):
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
@@ -5237,3 +5242,103 @@ SQL_KG_BFS_HOPS = f"""
 
 QUERIES["kg_bfs_hops"] = q_kg_bfs_hops
 ORACLES["kg_bfs_hops"] = SQL_KG_BFS_HOPS
+
+
+# ------------------------------------------- repo fork overlap (oracled)
+# Fork / vendored-copy detection across repositories — the repo-level
+# dedup every source-code corpus needs before training (GitHub fork
+# collapse): how much of repo A's content also appears in repo B. Unit of
+# sharing is the dedup_paragraph segmentation hash, so the signal is
+# robust to file moves and renames (content-defined, not path-defined).
+# Plan shape: per-repo distinct paragraph sets, then pairs via the
+# _capped_member_docs row-guarded gather (ONE window exchange; a
+# paragraph shared by more than FORK_PARA_DF repos — license texts,
+# generated stubs — is dropped BEFORE any member array or pair exists,
+# the same hot-key discipline as the MinHash/shingle paths) and an
+# array-side pair explode instead of a psha self-join. Containment =
+# shared / min(|A|, |B|) (the fork-direction-free measure); repo sizes
+# ride in as broadcasts (repo-count-sized tables).
+
+FORK_PARA_DF = 20       # drop paragraphs present in more repos (boilerplate)
+FORK_MIN_SHARED = 2     # report pairs sharing at least this many paragraphs
+
+
+def _repo_paras(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("source").alias("repo"),
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("arr"),
+        )
+        .filter(F.size("arr") > 0)
+    )
+    return d.select(
+        "repo",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(arr) / {PARA_TOKENS}.0) as int) - 1),"
+                f" i -> sha2(array_join(slice(arr, i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' '), 256))"
+            )
+        ).alias("psha"),
+    ).distinct()
+
+
+def q_repo_fork_overlap(spark, sf_dir):
+    rp = _repo_paras(spark, sf_dir)
+    members = _capped_member_docs(rp, ["psha"], "repo", FORK_PARA_DF, min_size=2)
+    shared = (
+        members.select(F.explode(_intra_bucket_pairs("repo_a", "repo_b")).alias("p"))
+        .groupBy(F.col("p.repo_a").alias("repo_a"), F.col("p.repo_b").alias("repo_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= FORK_MIN_SHARED)
+    )
+    sizes = rp.groupBy("repo").agg(F.count("*").alias("n_paras"))
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("repo").alias("repo_a"),
+                                     F.col("n_paras").alias("paras_a"))),
+            "repo_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("repo").alias("repo_b"),
+                                     F.col("n_paras").alias("paras_b"))),
+            "repo_b",
+        )
+        .select(
+            "repo_a", "repo_b", "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("paras_a", "paras_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+SQL_REPO_FORK_OVERLAP = f"""
+  WITH d AS (
+    SELECT source AS repo, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents),
+  rp AS (
+    SELECT DISTINCT repo,
+           sha256(array_to_string(
+             list_slice(arr, j * {PARA_TOKENS} + 1, j * {PARA_TOKENS} + {PARA_TOKENS}), ' ')) AS psha
+    FROM (SELECT repo, arr,
+                 unnest(range(0, CAST(ceil(len(arr) / {PARA_TOKENS}.0) AS INT))) AS j
+          FROM d WHERE len(arr) > 0)),
+  df AS (SELECT psha, count(*) AS n_repos FROM rp GROUP BY psha),
+  kept AS (SELECT rp.repo, rp.psha FROM rp JOIN df USING (psha)
+           WHERE n_repos <= {FORK_PARA_DF}),
+  shared AS (
+    SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.psha = b.psha AND a.repo < b.repo
+    GROUP BY a.repo, b.repo
+    HAVING count(*) >= {FORK_MIN_SHARED}),
+  sizes AS (SELECT repo, count(*) AS n_paras FROM rp GROUP BY repo)
+  SELECT repo_a, repo_b, n_shared,
+         round(CAST(n_shared AS DOUBLE) / least(sa.n_paras, sb.n_paras), 6)
+           AS containment
+  FROM shared JOIN sizes sa ON repo_a = sa.repo
+              JOIN sizes sb ON repo_b = sb.repo
+"""
+
+QUERIES["repo_fork_overlap"] = q_repo_fork_overlap
+ORACLES["repo_fork_overlap"] = SQL_REPO_FORK_OVERLAP

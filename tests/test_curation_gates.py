@@ -118,3 +118,31 @@ def test_bfs_matches_pure_python_bfs(spark):
                 queue.append(m)
     got = {r.node: r.dist for r in Q.q_kg_bfs_hops(spark, SF).collect()}
     assert got == dist and max(dist.values()) == Q.BFS_MAX_HOPS
+
+
+def test_fork_overlap_detects_planted_fork_and_caps_boilerplate(spark, tmp_path):
+    """A planted fork (repo_b = copy of repo_a's doc + one extra doc)
+    must surface with containment = shared/min; a paragraph shared by
+    MORE than FORK_PARA_DF repos (license boilerplate) must be excluded
+    from pair generation entirely."""
+    fork_text = " ".join(f"tok{i}" for i in range(Q.PARA_TOKENS * 3))  # 3 paras
+    extra = " ".join(f"only{i}" for i in range(Q.PARA_TOKENS * 2))     # 2 paras
+    boiler = " ".join(f"lic{i}" for i in range(Q.PARA_TOKENS))         # 1 para
+    rows = [
+        (0, fork_text, "en", "repoA", len(fork_text)),
+        (1, fork_text, "en", "repoB", len(fork_text)),
+        (2, extra, "en", "repoB", len(extra)),
+    ] + [
+        # the same boilerplate paragraph in >FORK_PARA_DF other repos
+        (10 + i, boiler, "en", f"boiler{i:02d}", len(boiler))
+        for i in range(Q.FORK_PARA_DF + 5)
+    ]
+    d = str(tmp_path / "forks")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {(r.repo_a, r.repo_b): (r.n_shared, r.containment)
+           for r in Q.q_repo_fork_overlap(spark, d).collect()}
+    # only the planted fork pair: 3 shared paras, min(|A|,|B|) = 3 -> 1.0
+    assert got == {("repoA", "repoB"): (3, 1.0)}
