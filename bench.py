@@ -93,6 +93,7 @@ HEADLINE = [
     "code_vendored_filter",
     "kg_bfs_hops",
     "repo_fork_overlap",
+    "kg_negative_sampling",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -5342,3 +5342,88 @@ SQL_REPO_FORK_OVERLAP = f"""
 
 QUERIES["repo_fork_overlap"] = q_repo_fork_overlap
 ORACLES["repo_fork_overlap"] = SQL_REPO_FORK_OVERLAP
+
+
+# --------------------------------------- KG negative sampling (oracled)
+# Corrupted-triple generation for KG-embedding training (the TransE /
+# DistMult data op): every positive triple yields NEG_K candidate
+# negatives by replacing the object with a deterministically hash-chosen
+# entity, then "filtered" sampling drops corruptions that are accidental
+# positives (anti-join on the full triple key) or no-ops (obj_neg ==
+# obj). Determinism = md5 of (triple, k) -> entity index, the same
+# engine/partitioning-stable idiom as sample_stratified, so the training
+# set is reproducible across runs and cluster sizes. Plan: one map-only
+# expansion (explode of a NEG_K sequence), a broadcast join against the
+# entity vocabulary (ontology-dictionary-bounded — at production scale
+# the vocab table stays entity-count-sized, never corpus-sized), and ONE
+# triple-keyed anti-join against the positives — the only corpus-sized
+# exchange, unavoidable because filtered sampling is BY DEFINITION a
+# membership test against the full positive set.
+
+NEG_K = 2
+_ENT_LIST = sorted({s for s, _ in DICT})
+
+
+def q_kg_negative_sampling(spark, sf_dir):
+    t = q_triples_kg(spark, sf_dir)
+    ents = spark.createDataFrame(
+        list(enumerate(_ENT_LIST)), ["idx", "obj_neg"]
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "subj", "pred", "obj", "k")), 1, 4
+        ),
+        16, 10,
+    ).cast("long")
+    cand = (
+        t.select(
+            "subj", "pred", "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("k"),
+        )
+        .withColumn("idx", (h % len(_ENT_LIST)).cast("int"))
+        .join(F.broadcast(ents), "idx")
+        .filter(F.col("obj_neg") != F.col("obj"))
+    )
+    return cand.join(
+        t.select("subj", "pred", F.col("obj").alias("obj_neg")),
+        ["subj", "pred", "obj_neg"],
+        "left_anti",
+    ).select("subj", "pred", "obj", "k", "obj_neg")
+
+
+_ENT_VALUES_SQL = ", ".join(f"({i}, '{e}')" for i, e in enumerate(_ENT_LIST))
+_H16_SQL = (
+    "(strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)"
+)
+
+SQL_KG_NEGATIVE_SAMPLING = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  ents(idx, obj_neg) AS (VALUES {_ENT_VALUES_SQL}),
+  expanded AS (
+    SELECT subj, pred, obj, k,
+           md5(subj || '|' || pred || '|' || obj || '|' || CAST(k AS VARCHAR)) AS hh
+    FROM triples, (SELECT unnest(range(0, {NEG_K})) AS k)),
+  cand AS (
+    SELECT subj, pred, obj, CAST(k AS INT) AS k,
+           CAST(({_H16_SQL}) % {len(_ENT_LIST)} AS INT) AS idx
+    FROM expanded),
+  joined AS (
+    SELECT c.subj, c.pred, c.obj, c.k, e.obj_neg
+    FROM cand c JOIN ents e USING (idx)
+    WHERE e.obj_neg <> c.obj)
+  SELECT j.subj, j.pred, j.obj, j.k, j.obj_neg
+  FROM joined j
+  WHERE NOT EXISTS (SELECT 1 FROM triples t
+                    WHERE t.subj = j.subj AND t.pred = j.pred
+                      AND t.obj = j.obj_neg)
+"""
+
+QUERIES["kg_negative_sampling"] = q_kg_negative_sampling
+ORACLES["kg_negative_sampling"] = SQL_KG_NEGATIVE_SAMPLING

@@ -70,6 +70,25 @@ def test_checkpointer_atomic_commit(spark, tmp_path):
     assert again.count() == 100
 
 
+def test_checkpointer_recovers_from_crash_mid_write(spark, tmp_path):
+    """A crash AFTER the data write but BEFORE the manifest commit must
+    leave the stage uncommitted: resume re-runs compute() and the
+    partial output is fully replaced (manifest-last = the atomic commit
+    point, the Iceberg-snapshot contract the catalog emulates)."""
+    import os
+
+    ck = Checkpointer(spark, str(tmp_path / "crash"))
+    ck.write("s1", spark.range(40).withColumn("v", F.lit("stale")))
+    os.remove(ck._manifest("s1"))  # simulate dying before the commit
+    assert not ck.exists("s1")     # partial output is NOT a committed stage
+    fresh = ck.get_or_compute(
+        "s1", lambda: spark.range(7).withColumn("v", F.lit("fresh"))
+    )
+    assert fresh.count() == 7      # recomputed, stale rows replaced
+    assert ck.manifest("s1")["rows"] == 7
+    assert {r.v for r in fresh.collect()} == {"fresh"}
+
+
 def test_beam_recovers_from_wrong_seed(ctx):
     """Removal/replace proposals: seeded with the WRONG initializer (the
     lowest-scoring candidate per slot, OBIEState.java:263-308), the sweep

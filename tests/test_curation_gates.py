@@ -146,3 +146,22 @@ def test_fork_overlap_detects_planted_fork_and_caps_boilerplate(spark, tmp_path)
            for r in Q.q_repo_fork_overlap(spark, d).collect()}
     # only the planted fork pair: 3 shared paras, min(|A|,|B|) = 3 -> 1.0
     assert got == {("repoA", "repoB"): (3, 1.0)}
+
+
+def test_negative_sampling_invariants(spark):
+    """Filtered negative sampling: no emitted corruption may be a true
+    triple or a no-op, at most NEG_K negatives per positive, and the
+    hash-derived choice is deterministic (two runs, identical rows)."""
+    pos = {(r.subj, r.pred, r.obj)
+           for r in Q.q_triples_kg(spark, SF).collect()}
+    rows = Q.q_kg_negative_sampling(spark, SF).collect()
+    assert rows
+    per_pos = {}
+    for r in rows:
+        assert (r.subj, r.pred, r.obj) in pos          # derives from a positive
+        assert (r.subj, r.pred, r.obj_neg) not in pos  # filtered
+        assert r.obj_neg != r.obj                      # not a no-op
+        per_pos.setdefault((r.subj, r.pred, r.obj), set()).add(r.k)
+    assert all(len(ks) <= Q.NEG_K for ks in per_pos.values())
+    again = Q.q_kg_negative_sampling(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
