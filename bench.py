@@ -94,6 +94,9 @@ HEADLINE = [
     "kg_bfs_hops",
     "repo_fork_overlap",
     "kg_negative_sampling",
+    "kg_kcore",
+    "kg_label_propagation",
+    "kg_scd2",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

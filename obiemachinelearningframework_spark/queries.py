@@ -5427,3 +5427,237 @@ SQL_KG_NEGATIVE_SAMPLING = f"""
 
 QUERIES["kg_negative_sampling"] = q_kg_negative_sampling
 ORACLES["kg_negative_sampling"] = SQL_KG_NEGATIVE_SAMPLING
+
+
+# ------------------------------------------- KG: k-core / communities / SCD2
+
+KCORE_K = 9   # above the doc-node degree floor (~3) and the 5% quantile
+KCORE_ROUNDS = 3  # (~7-8) of the testdata KG, so pruning genuinely cascades
+
+
+def _kg_sym_edges(spark, sf_dir):
+    """Undirected (symmetrized, distinct) edge view of the materialized KG.
+    localCheckpoint(eager=False) cuts lineage once so iterative consumers
+    re-scan an edge-sized table instead of re-deriving the extraction
+    subtree per round (same pattern as kg_pagerank / kg_bfs_hops)."""
+    t = q_triples_kg(spark, sf_dir)
+    und = t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    return (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core decomposition of the undirected KG (k=2, KCORE_ROUNDS
+    synchronous pruning rounds): repeatedly drop nodes whose degree over
+    the SURVIVING subgraph is < k (k sits above the fixture KG's degree
+    floor so the prune genuinely cascades) — the standard noise/periphery filter
+    before clustering or embedding a production KG. The round count is
+    fixed so the DuckDB oracle can unroll the loop; production runs the
+    identical loop to fixpoint with a convergence check on the surviving
+    node count (operators/canonicalize.py shows that data-dependent loop
+    shape for connected components). Per round: one keyed degree
+    aggregation plus two semi-joins that keep edges with both endpoints
+    alive — every table is node-/edge-sized, every exchange is keyed, and
+    localCheckpoint(eager=False) cuts lineage without a per-round driver
+    barrier, so the plan survives graphs many orders of magnitude larger.
+    Output: nodes still alive after the final round, with their in-core
+    degree."""
+    edges = _kg_sym_edges(spark, sf_dir)
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            edges.groupBy("a").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("a")
+        )
+        edges = (
+            edges.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+
+
+def _kcore_sql() -> str:
+    head = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  edges0 AS (SELECT DISTINCT subj AS a, obj AS b FROM triples
+             UNION SELECT DISTINCT obj AS a, subj AS b FROM triples)"""
+    steps = []
+    for k in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+  alive{k} AS (SELECT a FROM edges{k - 1} GROUP BY a
+               HAVING count(*) >= {KCORE_K}),
+  edges{k} AS (SELECT e.a, e.b FROM edges{k - 1} e
+               JOIN alive{k} x ON e.a = x.a
+               JOIN alive{k} y ON e.b = y.a)"""
+        )
+    return (
+        head + "," + ",".join(steps)
+        + f"\n  SELECT a AS node, count(*) AS deg FROM edges{KCORE_ROUNDS} GROUP BY a"
+    )
+
+
+SQL_KG_KCORE = _kcore_sql()
+
+QUERIES["kg_kcore"] = q_kg_kcore
+ORACLES["kg_kcore"] = SQL_KG_KCORE
+
+
+LPA_ITERS = 3
+
+
+def q_kg_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (LPA_ITERS fixed rounds) over the
+    undirected KG — the cheap community-detection pass that groups
+    entities before expensive per-community work (entity resolution,
+    embedding). Every node starts in its own community (label = its own
+    name); each round a node adopts the most frequent label among its
+    neighbours, ties broken by the lexicographically smallest label, so
+    the result is fully deterministic and the unrolled-SQL oracle agrees
+    exactly. Per round: edges ⋈ labels on the neighbour key (AQE
+    skew-join absorbs hub entities), one (node, label) keyed count, and a
+    per-node window argmax — every exchange is keyed by node; the label
+    table stays node-sized. Fixed rounds is the production form too: LPA
+    plateaus within a handful of rounds on power-law graphs, and a bounded
+    round count makes the job's cost predictable at any scale."""
+    edges = _kg_sym_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_sql() -> str:
+    head = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT subj AS a, obj AS b FROM triples
+            UNION SELECT DISTINCT obj AS a, subj AS b FROM triples),
+  lab0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)"""
+    steps = []
+    for k in range(1, LPA_ITERS + 1):
+        steps.append(f"""
+  n{k} AS (SELECT e.a AS node, l.label, count(*) AS cnt
+           FROM edges e JOIN lab{k - 1} l ON e.b = l.node
+           GROUP BY e.a, l.label),
+  lab{k} AS (SELECT node, label FROM (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM n{k}) WHERE rn = 1)"""
+        )
+    return (
+        head + "," + ",".join(steps)
+        + f"\n  SELECT node, label AS community FROM lab{LPA_ITERS}"
+    )
+
+
+SQL_KG_LABEL_PROPAGATION = _lpa_sql()
+
+QUERIES["kg_label_propagation"] = q_kg_label_propagation
+ORACLES["kg_label_propagation"] = SQL_KG_LABEL_PROPAGATION
+
+
+SCD2_SNAPSHOTS = 4
+
+
+def q_kg_scd2(spark, sf_dir):
+    """Temporal KG maintenance (SCD2 validity intervals): a sequence of
+    SCD2_SNAPSHOTS extraction runs over a rotating corpus slice (snapshot
+    k sees every document except those with (doc_id + k) % 4 == 0 — the
+    deterministic stand-in for documents entering/leaving the corpus
+    between crawls) folded into one version row per contiguous presence
+    run via gaps-and-islands: (valid_from, valid_to, version, is_current).
+    kg_snapshot_diff is the two-snapshot special case; this is the
+    Iceberg-history / dimension-table pattern applied to the KG. The
+    corpus is scanned ONCE — snapshot membership is a broadcast
+    generator-expanded filter, not N extraction runs — and the lag/cumsum
+    windows and final aggregation are all keyed by the triple, so the
+    whole plan is one exchange on the triple key regardless of corpus or
+    snapshot count."""
+    m = q_mentions_dict(spark, sf_dir)
+    trip = m.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+        F.col("token").alias("obj"),
+    ).distinct()
+    snaps = spark.range(1, SCD2_SNAPSHOTS + 1).select(F.col("id").alias("snap"))
+    present = (
+        trip.crossJoin(F.broadcast(snaps))
+        .filter((F.col("doc_id") + F.col("snap")) % 4 != 0)
+        .select("subj", "pred", "obj", "snap")
+    )
+    key = ["subj", "pred", "obj"]
+    wlag = W.partitionBy(*key).orderBy("snap")
+    isl = (
+        present.withColumn(
+            "brk",
+            F.when(F.col("snap") - F.lag("snap").over(wlag) == 1, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "version",
+            F.sum("brk").over(wlag.rowsBetween(W.unboundedPreceding, 0)).cast("int"),
+        )
+    )
+    return (
+        isl.groupBy(*key, "version")
+        .agg(F.min("snap").alias("valid_from"), F.max("snap").alias("valid_to"))
+        .withColumn(
+            "is_current", (F.col("valid_to") == SCD2_SNAPSHOTS).cast("int")
+        )
+    )
+
+
+SQL_KG_SCD2 = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  trip AS (SELECT DISTINCT doc_id,
+                  'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                  'mentions_' || type_id AS pred, token AS obj
+           FROM toks JOIN dict ON token = surface),
+  present AS (SELECT subj, pred, obj, snap
+              FROM trip CROSS JOIN (SELECT unnest(range(1, {SCD2_SNAPSHOTS + 1})) AS snap) s
+              WHERE (doc_id + snap) % 4 <> 0),
+  isl AS (SELECT subj, pred, obj, snap,
+                 CASE WHEN snap - lag(snap) OVER (PARTITION BY subj, pred, obj
+                                                  ORDER BY snap) = 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM present),
+  v AS (SELECT subj, pred, obj, snap,
+               CAST(sum(brk) OVER (PARTITION BY subj, pred, obj ORDER BY snap
+                                   ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        FROM isl)
+  SELECT subj, pred, obj, version,
+         min(snap) AS valid_from, max(snap) AS valid_to,
+         CAST(max(snap) = {SCD2_SNAPSHOTS} AS INT) AS is_current
+  FROM v GROUP BY subj, pred, obj, version
+"""
+
+QUERIES["kg_scd2"] = q_kg_scd2
+ORACLES["kg_scd2"] = SQL_KG_SCD2
