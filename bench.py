@@ -97,6 +97,8 @@ HEADLINE = [
     "kg_kcore",
     "kg_label_propagation",
     "kg_scd2",
+    "kg_neighbor_sample",
+    "dedup_incremental",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -5661,3 +5661,148 @@ SQL_KG_SCD2 = f"""
 
 QUERIES["kg_scd2"] = q_kg_scd2
 ORACLES["kg_scd2"] = SQL_KG_SCD2
+
+
+NS_K = 5
+
+
+def q_kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE/PinSAGE-style bounded neighbour sampling over the
+    undirected KG: every node keeps at most NS_K neighbours, chosen by
+    md5(node|neighbour) order — deterministic across engines, cluster
+    sizes, AND corpus growth (a node's sample only changes if its edge
+    set changes), which is what makes minibatch graph training
+    reproducible. This is the fan-out cap that makes hub nodes affordable
+    before any adjacency gather / message passing: downstream cost is
+    O(nodes * NS_K), not O(edges). One keyed window (exchange on the node
+    key); the hub partitions the window must sort are exactly the rows
+    the cap is about to discard, and the sort spills — no executor-memory
+    dependence on hub degree."""
+    edges = _kg_sym_edges(spark, sf_dir)
+    w = W.partitionBy("a").orderBy(F.md5(F.concat_ws("|", "a", "b")))
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NS_K)
+        .select(F.col("a").alias("node"), F.col("b").alias("nbr"), "rk")
+    )
+
+
+SQL_KG_NEIGHBOR_SAMPLE = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT subj AS a, obj AS b FROM triples
+            UNION SELECT DISTINCT obj AS a, subj AS b FROM triples),
+  ranked AS (SELECT a, b,
+                    row_number() OVER (PARTITION BY a
+                                       ORDER BY md5(a || '|' || b)) AS rk
+             FROM edges)
+  SELECT a AS node, b AS nbr, rk FROM ranked WHERE rk <= {NS_K}
+"""
+
+QUERIES["kg_neighbor_sample"] = q_kg_neighbor_sample
+ORACLES["kg_neighbor_sample"] = SQL_KG_NEIGHBOR_SAMPLE
+
+
+INCR_EST_MIN = 0.5  # >= 4 of 8 minhashes agree => estimated Jaccard >= 0.5
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup detection: dedup a NEW ingest batch against
+    the EXISTING corpus without re-pairing the existing corpus with
+    itself — the production shape once a corpus is too large to re-dedup
+    per ingest (the batch analog of streaming/dedup_stream.py; in
+    production the existing side's band buckets are a materialized
+    bucketed table, sources/bucketed.py, so only the new batch is
+    shingled per run). Batch membership is simulated deterministically
+    (doc_id % 5 == 0 is 'new'). ONE signature scan emits band buckets for
+    both sides; hot buckets are dropped as rows before any array exists
+    (_capped_member_docs); new x old pairs come from array ops inside
+    each bucket (never a self-join); candidates are verified by minhash
+    agreement rate >= INCR_EST_MIN and each new doc reports its best
+    existing match. Every exchange is keyed (bucket, pair, doc);
+    nothing is corpus-sized on a single node."""
+    sig = q_minhash_signature(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}")).alias("bucket"),
+        )
+        for b in range(N_MINHASH // 2)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    buckets = _capped_member_docs(bands, ["band", "bucket"], "doc_id", MAX_BUCKET_DOCS)
+    docs = F.col("docs")
+    news = F.filter(docs, lambda d: d % 5 == 0)
+    olds = F.filter(docs, lambda d: d % 5 != 0)
+    pair_structs = F.flatten(
+        F.transform(
+            news,
+            lambda n: F.transform(
+                olds, lambda o: F.struct(n.alias("doc_id"), o.alias("dup_of"))
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id", "p.dup_of")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"n.h{i}") == F.col(f"o.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    scored = (
+        pairs.join(sig.alias("n"), pairs.doc_id == F.col("n.doc_id"))
+        .join(sig.alias("o"), pairs.dup_of == F.col("o.doc_id"))
+        .select(
+            pairs.doc_id,
+            pairs.dup_of,
+            F.round(agree / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= INCR_EST_MIN)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("est_jaccard"), F.asc("dup_of"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sig AS (
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+    FROM sh GROUP BY doc_id),
+  bands0 AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  ),
+  bands AS (
+    SELECT bands0.* FROM bands0
+    JOIN (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+          HAVING count(*) <= {MAX_BUCKET_DOCS}) ok USING (band, bucket)),
+  pairs AS (
+    SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+    FROM bands n JOIN bands o USING (band, bucket)
+    WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+  scored AS (
+    SELECT p.doc_id, p.dup_of,
+           round(({" + ".join(f"CASE WHEN n.h{i} = o.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}) / {float(N_MINHASH)}, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sig n ON p.doc_id = n.doc_id
+    JOIN sig o ON p.dup_of = o.doc_id),
+  best AS (
+    SELECT doc_id, dup_of, est_jaccard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY est_jaccard DESC, dup_of ASC) AS rn
+    FROM scored WHERE est_jaccard >= {INCR_EST_MIN})
+  SELECT doc_id, dup_of, est_jaccard FROM best WHERE rn = 1
+"""
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = SQL_DEDUP_INCREMENTAL

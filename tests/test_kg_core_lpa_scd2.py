@@ -87,3 +87,65 @@ def test_scd2_matches_python(spark):
     # versions, and some triple must have 2 versions (a real gap)
     assert 0 < n_current < len(got)
     assert any(k[3] == 2 for k in want)
+
+
+def test_neighbor_sample_matches_python(spark, sym_edges):
+    import hashlib
+
+    from obiemachinelearningframework_spark.queries import NS_K, q_kg_neighbor_sample
+
+    nbrs = defaultdict(list)
+    for a, b in sym_edges:
+        nbrs[a].append(b)
+    want = {}
+    for n, ns in nbrs.items():
+        ranked = sorted(ns, key=lambda b: hashlib.md5(f"{n}|{b}".encode()).hexdigest())
+        for i, b in enumerate(ranked[:NS_K], 1):
+            want[(n, b)] = i
+    got = {(r.node, r.nbr): r.rk for r in q_kg_neighbor_sample(spark, SF_DIR).collect()}
+    assert got == want
+    # the cap must bite: some node has more neighbours than NS_K
+    assert max(len(v) for v in nbrs.values()) > NS_K
+
+
+def test_dedup_incremental_matches_python(spark):
+    import hashlib
+
+    from obiemachinelearningframework_spark.queries import (
+        INCR_EST_MIN,
+        MAX_BUCKET_DOCS,
+        N_MINHASH,
+        q_dedup_incremental,
+        q_minhash_signature,
+    )
+
+    sig = {r.doc_id: [r[f"h{i}"] for i in range(N_MINHASH)]
+           for r in q_minhash_signature(spark, SF_DIR).collect()}
+    buckets = defaultdict(list)
+    for d, hs in sig.items():
+        for b in range(N_MINHASH // 2):
+            key = hashlib.md5(f"{hs[2 * b]}|{hs[2 * b + 1]}".encode()).hexdigest()
+            buckets[(b, key)].append(d)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > MAX_BUCKET_DOCS:
+            continue
+        for n in members:
+            if n % 5 != 0:
+                continue
+            for o in members:
+                if o % 5 != 0:
+                    pairs.add((n, o))
+    want = {}
+    for n, o in sorted(pairs):
+        est = round(sum(a == b for a, b in zip(sig[n], sig[o])) / N_MINHASH, 6)
+        if est < INCR_EST_MIN:
+            continue
+        cur = want.get(n)
+        if cur is None or (-est, o) < (-cur[1], cur[0]):
+            want[n] = (o, est)
+    got = {r.doc_id: (r.dup_of, r.est_jaccard)
+           for r in q_dedup_incremental(spark, SF_DIR).collect()}
+    assert got == want
+    assert got, "fixture must contain at least one new-vs-old near-dup"
+    assert all(n % 5 == 0 and o % 5 != 0 for n, (o, _) in got.items())
