@@ -99,6 +99,7 @@ HEADLINE = [
     "kg_scd2",
     "kg_neighbor_sample",
     "dedup_incremental",
+    "curation_funnel",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -5806,3 +5806,133 @@ SQL_DEDUP_INCREMENTAL = f"""
 
 QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLES["dedup_incremental"] = SQL_DEDUP_INCREMENTAL
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The curation report a data release actually ships with: how many
+    documents each gate of the standard pre-training pipeline removes, in
+    order — (1) exact dedup (sha256 canonical, keep the smallest doc_id),
+    (2) near-dup removal over the exact survivors (banded MinHash
+    candidates verified by signature agreement >= INCR_EST_MIN; policy:
+    drop any doc with a verified smaller-id partner — the deterministic
+    greedy rule; dedup_embedding holds the full connected-components
+    form), (3) benchmark decontamination over the near-dup survivors
+    (any shared eval shingle). Composes the registry's own building
+    blocks; each stage's input is the previous stage's survivors, so the
+    funnel is the composition proof. Cost = the union of the component
+    plans (one corpus scan feeds sha, shingles, and signatures); every
+    aggregation is keyed, the report itself is 3 rows."""
+    docs = _docs(spark, sf_dir)
+    n0 = docs.agg(F.count("*").alias("n0"))
+    keep = W.partitionBy(F.sha2("text", 256))
+    s1 = (
+        docs.withColumn("_keep", F.min("doc_id").over(keep))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id")
+    )
+    r1 = n0.crossJoin(s1.agg(F.count("*").alias("k1"))).select(
+        (F.col("n0") - F.col("k1")).alias("r1")
+    )
+    sig = q_minhash_signature(spark, sf_dir).join(s1, "doc_id")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}")).alias("bucket"),
+        )
+        for b in range(N_MINHASH // 2)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    pair_structs = _intra_bucket_pairs("doc_a", "doc_b")
+    pairs = (
+        _capped_member_docs(bands, ["band", "bucket"], "doc_id", MAX_BUCKET_DOCS)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"x.h{i}") == F.col(f"y.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    rm2 = (
+        pairs.join(sig.alias("x"), pairs.doc_a == F.col("x.doc_id"))
+        .join(sig.alias("y"), pairs.doc_b == F.col("y.doc_id"))
+        .filter(
+            F.round(agree / F.lit(float(N_MINHASH)), 6) >= INCR_EST_MIN
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(rm2, "doc_id", "left_anti")
+    r2 = rm2.agg(F.count("*").alias("r2"))
+    snips = spark.createDataFrame(_snippet_shingles(), ["snippet_id", "shingle"])
+    rm3 = (
+        _shingles(spark, sf_dir)
+        .join(F.broadcast(snips), "shingle")
+        .select("doc_id")
+        .distinct()
+        .join(s2, "doc_id", "left_semi")
+    )
+    r3 = rm3.agg(F.count("*").alias("r3"))
+    row = n0.crossJoin(r1).crossJoin(r2).crossJoin(r3)
+    stage = lambda name, din, rem: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"),
+        din.cast("long").alias("docs_in"),
+        rem.cast("long").alias("removed"),
+        (din - rem).cast("long").alias("docs_out"),
+    )
+    n0c, r1c, r2c, r3c = F.col("n0"), F.col("r1"), F.col("r2"), F.col("r3")
+    return row.select(
+        F.explode(
+            F.array(
+                stage("1_exact", n0c, r1c),
+                stage("2_near_dup", n0c - r1c, r2c),
+                stage("3_decontaminate", n0c - r1c - r2c, r3c),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+SQL_CURATION_FUNNEL = f"""
+  WITH n0 AS (SELECT count(*) AS n FROM documents),
+  s1 AS (SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+           FROM documents) WHERE doc_id = keep),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  sig AS (
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASH))}
+    FROM sh JOIN s1 USING (doc_id) GROUP BY doc_id),
+  bands0 AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig" for b in range(N_MINHASH // 2))}
+  ),
+  bands AS (
+    SELECT bands0.* FROM bands0
+    JOIN (SELECT band, bucket FROM bands0 GROUP BY band, bucket
+          HAVING count(*) <= {MAX_BUCKET_DOCS}) ok USING (band, bucket)),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id),
+  rm2 AS (
+    SELECT DISTINCT p.doc_b AS doc_id
+    FROM pairs p JOIN sig x ON p.doc_a = x.doc_id
+                 JOIN sig y ON p.doc_b = y.doc_id
+    WHERE round(({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}) / {float(N_MINHASH)}, 6) >= {INCR_EST_MIN}),
+  s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+  snips(snippet_id, shingle) AS (VALUES {_SNIPPET_SHINGLES_SQL}),
+  rm3 AS (SELECT DISTINCT sh.doc_id FROM sh JOIN snips USING (shingle)
+          JOIN s2 ON sh.doc_id = s2.doc_id),
+  c AS (SELECT (SELECT n FROM n0) AS n0,
+               (SELECT n FROM n0) - (SELECT count(*) FROM s1) AS r1,
+               (SELECT count(*) FROM rm2) AS r2,
+               (SELECT count(*) FROM rm3) AS r3)
+  SELECT '1_exact' AS stage, n0 AS docs_in, r1 AS removed, n0 - r1 AS docs_out FROM c
+  UNION ALL
+  SELECT '2_near_dup', n0 - r1, r2, n0 - r1 - r2 FROM c
+  UNION ALL
+  SELECT '3_decontaminate', n0 - r1 - r2, r3, n0 - r1 - r2 - r3 FROM c
+"""
+
+QUERIES["curation_funnel"] = q_curation_funnel
+ORACLES["curation_funnel"] = SQL_CURATION_FUNNEL
