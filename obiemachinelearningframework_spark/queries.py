@@ -2757,21 +2757,29 @@ def q_kg_cardinality_conflicts(spark, sf_dir):
     predicate with 2+ distinct objects is the classic KB conflict). One
     keyed aggregation + a broadcast join against the tiny constraint
     table; emits the violating groups with their distinct-object count and
-    the lexicographically-first conflicting pair as evidence."""
+    the lexicographically-first conflicting pair as evidence.
+
+    Scale note: the evidence pair is taken via a row-number window over
+    the DISTINCT (subj, pred, obj) rows — never a collect_set — so a hot
+    subject with millions of distinct objects on some predicate costs two
+    retained rows per group, not one unbounded in-memory array (the same
+    hot-key materialization hazard the round-2 advice flagged in the LSH
+    pair generation)."""
     t = q_triples_kg(spark, sf_dir)
     card = spark.createDataFrame(KG_PRED_MAX_CARD, ["pred", "max_card"])
-    g = (
-        t.join(F.broadcast(card), "pred")
-        .groupBy("subj", "pred", "max_card")
-        .agg(
-            F.countDistinct("obj").alias("n_values"),
-            F.array_sort(F.collect_set("obj")).alias("vals"),
-        )
-        .filter(F.col("n_values") > F.col("max_card"))
+    d = t.join(F.broadcast(card), "pred").select("subj", "pred", "max_card", "obj").distinct()
+    w = W.partitionBy("subj", "pred")
+    ranked = d.withColumn("rn", F.row_number().over(w.orderBy("obj"))).withColumn(
+        "n_values", F.count("*").over(w)
     )
-    return g.select(
-        "subj", "pred", "max_card", "n_values",
-        F.col("vals")[0].alias("val_a"), F.col("vals")[1].alias("val_b"),
+    g = ranked.filter((F.col("n_values") > F.col("max_card")) & (F.col("rn") <= 2))
+    return (
+        g.groupBy("subj", "pred", "max_card", "n_values")
+        .agg(
+            F.min("obj").alias("val_a"),
+            F.max(F.when(F.col("rn") == 2, F.col("obj"))).alias("val_b"),
+        )
+        .select("subj", "pred", "max_card", "n_values", "val_a", "val_b")
     )
 
 

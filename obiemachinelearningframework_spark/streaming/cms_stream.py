@@ -15,7 +15,10 @@ both sides use queries.cms_bucket_array). Each micro-batch folds its
 streaming sink cannot), committed with the same A/B write-then-flip
 discipline as kg_stream — a crash mid-batch leaves the previous sketch
 intact and the restarted drain re-applies the batch from the streaming
-checkpoint.
+checkpoint. Because counter addition is not idempotent, the epoch id is
+committed atomically with the flip and a replayed epoch is skipped —
+without that guard a crash between the flip and the checkpoint's epoch
+commit would double-count the batch.
 
 Mergeability is THE scale property here: on a real cluster every
 executor builds a partial sketch map-side and the exchange carries only
@@ -57,13 +60,24 @@ def batch_sketch(docs: DataFrame) -> DataFrame:
     )
 
 
-def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current committed running sketch (empty if none committed yet)."""
+def _read_commit(state_dir: str) -> tuple[str | None, int]:
+    """(side, last_applied_epoch) from the CURRENT pointer; (None, -1)
+    before the first commit."""
     ptr = os.path.join(state_dir, "CURRENT")
     if not os.path.exists(ptr):
-        return spark.createDataFrame([], SKETCH_SCHEMA)
+        return None, -1
     with open(ptr) as f:
-        side = f.read().strip()
+        parts = f.read().strip().split()
+    side = parts[0]
+    epoch = int(parts[1]) if len(parts) > 1 else -1
+    return side, epoch
+
+
+def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current committed running sketch (empty if none committed yet)."""
+    side, _ = _read_commit(state_dir)
+    if side is None:
+        return spark.createDataFrame([], SKETCH_SCHEMA)
     return spark.read.parquet(os.path.join(state_dir, side))
 
 
@@ -89,20 +103,29 @@ def estimate(sketch: DataFrame, tokens: list[str]) -> dict[str, int]:
     return {r.token: r.n_est for r in rows}
 
 
-def _merge_batch(spark: SparkSession, docs: DataFrame, state_dir: str) -> None:
+def _merge_batch(
+    spark: SparkSession, docs: DataFrame, state_dir: str, epoch_id: int
+) -> None:
+    # counter addition is NOT idempotent (unlike kg_stream's
+    # anti-join+union), so replaying a batch after a crash in the window
+    # between the A/B flip and the streaming checkpoint's epoch commit
+    # would double-count. The epoch id therefore commits WITH the flip:
+    # a replayed epoch <= the committed one is a no-op.
+    cur, applied = _read_commit(state_dir)
+    if epoch_id <= applied:
+        return
     merged = (
         read_sketch(spark, state_dir)
         .unionByName(batch_sketch(docs))
         .groupBy("r", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    ptr = os.path.join(state_dir, "CURRENT")
-    cur = open(ptr).read().strip() if os.path.exists(ptr) else "b"
-    nxt = "a" if cur == "b" else "b"
+    nxt = "a" if (cur or "b") == "b" else "b"
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, nxt))
+    ptr = os.path.join(state_dir, "CURRENT")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        f.write(nxt)
+        f.write(f"{nxt} {epoch_id}")
     os.replace(tmp, ptr)  # atomic flip = the commit
 
 
@@ -120,7 +143,7 @@ def stream_cms(
     src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = (
         src.writeStream
-        .foreachBatch(lambda batch, _bid: _merge_batch(spark, batch, state_dir))
+        .foreachBatch(lambda batch, bid: _merge_batch(spark, batch, state_dir, bid))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -53,8 +53,10 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
 
 def _merge_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str) -> None:
     snap = read_snapshot(spark, snapshot_dir)
-    # last op per key inside the batch wins (a key re-sent as add after
-    # retract in the same micro-batch must land as present)
+    # within one micro-batch, ADD wins per key: the op rows carry no
+    # sequence column, so "last" is undefined inside a batch — a key with
+    # both ops (e.g. retract then re-add) deterministically lands present
+    # regardless of file/partition order (pinned by test_kg_stream)
     keys = batch.select(*_KEY).distinct()
     adds = batch.filter(F.col("op") == "add").select(*_KEY).distinct()
     merged = snap.join(keys, _KEY, "left_anti").unionByName(adds)

@@ -85,3 +85,29 @@ def test_stream_cms_merge_is_exact(spark, tmp_path):
         (r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()
     }
     assert again == merged
+
+
+def test_merge_batch_replay_is_noop(spark, tmp_path):
+    """Crash-replay safety: counter addition is not idempotent, so a
+    replayed epoch (checkpoint lost after the A/B flip) must be skipped
+    by the epoch guard, not re-added."""
+    import os
+
+    from obiemachinelearningframework_spark.streaming.cms_stream import (
+        _merge_batch,
+    )
+
+    state = str(tmp_path / "state2")
+    os.makedirs(state, exist_ok=True)
+    docs = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+
+    _merge_batch(spark, docs, state, epoch_id=0)
+    once = {(r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()}
+    _merge_batch(spark, docs, state, epoch_id=0)  # replay of epoch 0
+    assert {
+        (r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()
+    } == once
+
+    _merge_batch(spark, docs, state, epoch_id=1)  # a NEW epoch does add
+    twice = {(r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()}
+    assert twice == {k: 2 * v for k, v in once.items()}
