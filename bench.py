@@ -100,6 +100,8 @@ HEADLINE = [
     "kg_neighbor_sample",
     "dedup_incremental",
     "curation_funnel",
+    "dedup_semantic",
+    "canonicalize_quality",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

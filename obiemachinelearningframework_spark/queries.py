@@ -5944,3 +5944,195 @@ SQL_CURATION_FUNNEL = f"""
 
 QUERIES["curation_funnel"] = q_curation_funnel
 ORACLES["curation_funnel"] = SQL_CURATION_FUNNEL
+
+
+# ------------------------------------------------ SemDeDup (oracled)
+# Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication"): cluster the embeddings,
+# call two SAME-CLUSTER members semantic duplicates when their cosine
+# >= SEM_EPS, and keep the member with the LOWEST cosine to its centroid
+# (the paper's keep-rule: the least prototypical example carries the most
+# marginal information). Clustering is what makes this a 100-TB plan —
+# the pair stage runs within clusters only, and K scales with the corpus
+# (K ~ N / target-cluster-size) so per-cluster pair cost stays constant;
+# the per-cluster member cap is the same deterministic sample guard as
+# the ANN buckets (dense regions stay represented, no unbounded array).
+# The codebook is pinned to the first SEM_K corpus vectors so the DuckDB
+# oracle sees identical centroids; production trains it with
+# operators/ivf.train_codebook (same serving plan, like ann_topk_ivf).
+# Removal rule, fully deterministic and order-insensitive: a member is
+# removed iff SOME same-cluster member that precedes it in
+# (centroid_cos ASC, vec_id ASC) order sits within SEM_EPS — whether or
+# not that earlier member is itself removed (one pass, no iteration).
+
+SEM_K = 16      # clusters; pinned codebook = first SEM_K corpus vectors
+SEM_EPS = 0.30  # within-cluster cosine above which members are duplicates
+SEM_CAP = 200   # per-cluster member cap for the pair stage (sampled)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    from .operators.ivf import _cos_expr
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    ac = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", _cos_expr("v", "cv").alias("cos_c")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cos_c", 6)), F.asc("cid")
+    )
+    assigned = (
+        ac.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "v", "cid", F.round("cos_c", 6).alias("centroid_cos"))
+    )
+    # keep-preference rank over the WHOLE cluster (window on the cluster
+    # key; cluster size is bounded by construction — K grows with N)
+    w_rank = W.partitionBy("cid").orderBy(F.asc("centroid_cos"), F.asc("vec_id"))
+    ranked = assigned.withColumn("rk", F.row_number().over(w_rank)).localCheckpoint(
+        eager=False
+    )
+    pairs = (
+        _capped_member_docs(
+            ranked.select("cid", "vec_id"), ["cid"], "vec_id", SEM_CAP,
+            mode="sample", min_size=2,
+        )
+        .select(F.explode(_intra_bucket_pairs("va", "vb")).alias("p"))
+        .select("p.va", "p.vb")
+    )
+    a = ranked.select(F.col("vec_id").alias("va"), F.col("v").alias("xa"),
+                      F.col("rk").alias("rka"))
+    b = ranked.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"),
+                      F.col("rk").alias("rkb"))
+    removed = (
+        pairs.join(a, "va").join(b, "vb")
+        .filter(F.round(_cos_expr("xa", "xb"), 6) >= SEM_EPS)
+        .select(
+            F.when(F.col("rka") < F.col("rkb"), F.col("vb"))
+            .otherwise(F.col("va"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        ranked.join(removed, "vec_id", "left")
+        .select(
+            "vec_id", "cid", "centroid_cos",
+            F.when(F.col("_rm").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+            .alias("keep"),
+        )
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  cent AS (SELECT vec_id AS cid, d, v AS cv FROM e WHERE vec_id < {SEM_K}),
+  cnorm AS (SELECT cid, sqrt(sum(cv * cv)) AS cnorm FROM cent GROUP BY cid),
+  cdot AS (SELECT e.vec_id, cent.cid, sum(e.v * cent.cv) AS dot
+           FROM e JOIN cent ON e.d = cent.d GROUP BY e.vec_id, cent.cid),
+  ac AS (SELECT cdot.vec_id, cdot.cid,
+                round(cdot.dot / (norm.norm * cnorm.cnorm), 6) AS cos_c,
+                row_number() OVER (PARTITION BY cdot.vec_id
+                     ORDER BY round(cdot.dot / (norm.norm * cnorm.cnorm), 6) DESC,
+                              cdot.cid ASC) AS r
+         FROM cdot JOIN norm ON norm.vec_id = cdot.vec_id
+                   JOIN cnorm ON cnorm.cid = cdot.cid),
+  assigned AS (SELECT vec_id, cid, cos_c AS centroid_cos FROM ac WHERE r = 1),
+  ranked AS (SELECT vec_id, cid, centroid_cos,
+                    row_number() OVER (PARTITION BY cid
+                         ORDER BY centroid_cos ASC, vec_id ASC) AS rk
+             FROM assigned),
+  admitted AS (SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srn,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM assigned) WHERE srn <= {SEM_CAP} AND n >= 2),
+  pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid
+            FROM admitted a JOIN admitted b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id),
+  pcos AS (SELECT p.va, p.vb,
+                  round(sum(x.v * y.v) / (nx.norm * ny.norm), 6) AS cos
+           FROM pairs p
+           JOIN e x ON x.vec_id = p.va
+           JOIN e y ON y.vec_id = p.vb AND y.d = x.d
+           JOIN norm nx ON nx.vec_id = p.va
+           JOIN norm ny ON ny.vec_id = p.vb
+           GROUP BY p.va, p.vb, nx.norm, ny.norm),
+  removed AS (
+    SELECT DISTINCT CASE WHEN ra.rk < rb.rk THEN pc.vb ELSE pc.va END AS vec_id
+    FROM pcos pc
+    JOIN ranked ra ON ra.vec_id = pc.va
+    JOIN ranked rb ON rb.vec_id = pc.vb
+    WHERE pc.cos >= {SEM_EPS})
+  SELECT r.vec_id, r.cid, r.centroid_cos,
+         CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+  FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+"""
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = SQL_DEDUP_SEMANTIC
+
+
+# --------------------------------- quality-aware canonicalization (oracled)
+# Near-dup clusters keep their BEST member, not their smallest id — the
+# policy real data releases use (the longest / highest-quality variant of
+# a boilerplate cluster is the one worth training on; RefinedWeb, FineWeb
+# keep-longest). Composes the registry's own components: connected
+# components over the MinHash-LSH pair graph + the quality_score token
+# stats; canonical = argmax (n_tokens DESC, doc_id ASC) per component.
+# One component-keyed window over a table with one row per CLUSTERED doc
+# (always smaller than the corpus); singletons are not re-emitted — the
+# report is about the clusters.
+
+
+def q_canonicalize_quality(spark, sf_dir):
+    comp = q_connected_components(spark, sf_dir)
+    stats = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    j = comp.join(stats, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        j.withColumn(
+            "canonical_id", F.first("doc_id").over(
+                w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        )
+        .select(
+            "doc_id", "component", "n_tokens", "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int")
+            .alias("is_canonical"),
+        )
+    )
+
+
+SQL_CANONICALIZE_QUALITY = f"""
+  WITH toks AS ({_TOKENS_SQL}),
+  stats AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+  comp AS ({SQL_CONNECTED_COMPONENTS}),
+  j AS (SELECT comp.doc_id, comp.component, stats.n_tokens
+        FROM comp JOIN stats ON comp.doc_id = stats.doc_id),
+  canon AS (SELECT component, doc_id AS canonical_id FROM (
+              SELECT component, doc_id,
+                     row_number() OVER (PARTITION BY component
+                          ORDER BY n_tokens DESC, doc_id ASC) AS rn
+              FROM j) WHERE rn = 1)
+  SELECT j.doc_id, j.component, j.n_tokens, canon.canonical_id,
+         CAST(j.doc_id = canon.canonical_id AS INT) AS is_canonical
+  FROM j JOIN canon ON j.component = canon.component
+"""
+
+QUERIES["canonicalize_quality"] = q_canonicalize_quality
+ORACLES["canonicalize_quality"] = SQL_CANONICALIZE_QUALITY
