@@ -985,13 +985,19 @@ SQL_PRICING_SUMMARY = """
 
 
 def q_top_customers(spark, sf_dir):
-    """Join + window rank: top-10 customers by order value."""
+    """Join + top-k: top-10 customers by order value. The cut is
+    orderBy().limit() — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows); the rank window then runs over the 10
+    surviving rows only. A global row_number window here instead would
+    sort the whole customer aggregate in ONE partition at scale (the
+    WindowExec single-partition warning)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     j = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).select("c_custkey", "c_name", "revenue")
+    top = j.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
     w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 SQL_TOP_CUSTOMERS = """
@@ -3642,10 +3648,14 @@ def q_shipping_priority(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
         .alias("revenue")
     )
+    # top-10 via orderBy().limit() = TakeOrderedAndProject (distributed
+    # heap, k rows to the driver), NOT a global row_number window — that
+    # would single-partition-sort the whole per-order aggregate at scale;
+    # the rank window runs over the 10 survivors only (bm25_topk pattern)
+    top = g.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        g.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
                 "o_orderpriority", "revenue", "rank")
     )
@@ -4161,18 +4171,38 @@ ORACLES["range_join_intervals"] = SQL_RANGE_JOIN_INTERVALS
 
 # ------------------------------------------------- Zipf fit (oracled)
 # Corpus-statistics gauge: fit log(freq) ~ log(rank) over the term
-# frequency table with the built-in regression aggregates (JVM-side,
-# single pass over the VOCABULARY — the only sorted state is the
-# vocabulary-bounded rank window, never corpus-bounded). A healthy
-# natural-language corpus has slope ≈ -1; the gauge flags synthetic or
-# boilerplate-heavy shards whose slope collapses.
+# frequency table with the built-in regression aggregates (JVM-side).
+# A healthy natural-language corpus has slope ≈ -1; the gauge flags
+# synthetic or boilerplate-heavy shards whose slope collapses.
+#
+# The global rank is a two-level decomposition (the chunk_pack prefix-sum
+# idiom, applied to a DATA-DEPENDENT sort key): the global order
+# (freq DESC, token ASC) is exactly the band order (freq DESC, prefix ASC)
+# followed by token order within a (freq, token-prefix) band, because a
+# band is a contiguous slice of the global order. Band offsets come from
+# a window over the BAND-COUNT table (|distinct freqs| x |prefixes| rows —
+# Zipf bounds distinct freqs at ~2*sqrt(total tokens), so this table is
+# tiny); the within-band row_number partitions on the band key, so no
+# window ever sorts the whole vocabulary in one partition (at 10^9 distinct
+# tokens the single global window this replaces is a one-task sort of the
+# entire vocabulary). Ranks are identical to the global window by
+# construction — the DuckDB oracle still computes them the naive way.
 
 
 def q_tokens_zipf(spark, sf_dir):
     freq = _tokens(spark, sf_dir).groupBy("token").agg(F.count("*").alias("freq"))
-    ranked = freq.select(
-        "freq",
-        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))).alias("rank"),
+    banded = freq.withColumn("pfx", F.substring("token", 1, 1))
+    bands = banded.groupBy("freq", "pfx").agg(F.count("*").alias("bn"))
+    w_band = W.orderBy(F.desc("freq"), F.asc("pfx")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = bands.select(
+        "freq", "pfx", F.coalesce(F.sum("bn").over(w_band), F.lit(0)).alias("off")
+    )
+    w_in = W.partitionBy("freq", "pfx").orderBy("token")
+    ranked = (
+        banded.join(F.broadcast(offsets), ["freq", "pfx"])
+        .select("freq", (F.col("off") + F.row_number().over(w_in)).alias("rank"))
     )
     return ranked.agg(
         F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),

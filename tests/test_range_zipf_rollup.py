@@ -58,6 +58,42 @@ def test_zipf_matches_numpy(spark):
     assert -2.5 < row.zipf_slope < -0.1 and 0 < row.zipf_r2 <= 1
 
 
+def test_zipf_two_level_rank_equals_global_window(spark):
+    """The (freq, token-prefix) band decomposition must reproduce the
+    global (freq DESC, token ASC) row_number exactly — the scale rewrite
+    may not change a single rank."""
+    from pyspark.sql import Window as W, functions as F
+
+    from obiemachinelearningframework_spark.queries import _tokens
+
+    freq = _tokens(spark, SF_DIR).groupBy("token").agg(F.count("*").alias("freq"))
+    banded = freq.withColumn("pfx", F.substring("token", 1, 1))
+    bands = banded.groupBy("freq", "pfx").agg(F.count("*").alias("bn"))
+    w_band = W.orderBy(F.desc("freq"), F.asc("pfx")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = bands.select(
+        "freq", "pfx", F.coalesce(F.sum("bn").over(w_band), F.lit(0)).alias("off")
+    )
+    w_in = W.partitionBy("freq", "pfx").orderBy("token")
+    two_level = {
+        r.token: r.rank
+        for r in banded.join(F.broadcast(offsets), ["freq", "pfx"])
+        .select("token", (F.col("off") + F.row_number().over(w_in)).alias("rank"))
+        .collect()
+    }
+    global_rank = {
+        r.token: r.rank
+        for r in freq.select(
+            "token",
+            F.row_number()
+            .over(W.orderBy(F.desc("freq"), F.asc("token")))
+            .alias("rank"),
+        ).collect()
+    }
+    assert two_level == global_rank
+
+
 def test_confusion_matrix_accounts_for_every_doc(spark):
     rows = q_lang_id_confusion(spark, SF_DIR).collect()
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
