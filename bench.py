@@ -102,6 +102,11 @@ HEADLINE = [
     "curation_funnel",
     "dedup_semantic",
     "canonicalize_quality",
+    "kg_node_similarity",
+    "split_leakage_safe",
+    "dedup_containment",
+    "embedding_dim_stats",
+    "kg_link_prediction_eval",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -6166,3 +6166,419 @@ SQL_CANONICALIZE_QUALITY = f"""
 
 QUERIES["canonicalize_quality"] = q_canonicalize_quality
 ORACLES["canonicalize_quality"] = SQL_CANONICALIZE_QUALITY
+
+
+# ------------------------------------------- KG node similarity (oracled)
+# Neighborhood-overlap similarity between entity nodes — the blocking /
+# candidate-scoring primitive behind entity resolution and "related
+# entities" surfaces over the constructed KG. Candidate pairs are
+# generated ONLY through shared neighbors whose degree is at or below
+# NODE_SIM_HUB_CAP: a hub neighbor (a stopword-like entity touching
+# everything) generates O(deg^2) wedges and carries ~no signal — the same
+# hot-key cap the jaccard/overlap dedup paths use (SHINGLE_DF_CAP), so the
+# wedge join has no skew blowup at 10^12 docs. Degrees in the Jaccard
+# denominator stay UNCAPPED (full neighborhood sizes). Adamic-Adar terms
+# are rounded to 6 dp and summed as exact decimals so the score is
+# bit-identical across engines and partitionings (ln() last-ulp
+# differences cannot reorder a float sum).
+
+NODE_SIM_HUB_CAP = 50
+
+
+def q_kg_node_similarity(spark, sf_dir):
+    m = q_mentions_dict(spark, sf_dir).select("doc_id", "token").distinct()
+    a = m.select("doc_id", F.col("token").alias("u"))
+    b = m.select("doc_id", F.col("token").alias("v"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        # feeds degree + both wedge legs: cut lineage once (triangles pattern)
+        .localCheckpoint()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    ctr = und.join(
+        deg.select(F.col("node").alias("u"), "deg"), "u"
+    ).filter(F.col("deg") <= NODE_SIM_HUB_CAP)
+    lft = ctr.select(
+        F.col("u").alias("w"), F.col("v").alias("x"), F.col("deg").alias("deg_w")
+    )
+    rgt = ctr.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    wed = lft.join(rgt, "w").filter(F.col("x") < F.col("y"))
+    aa_term = F.round(F.lit(1.0) / F.log(F.col("deg_w")), 6).cast("decimal(18,6)")
+    agg = wed.groupBy(F.col("x").alias("u"), F.col("y").alias("v")).agg(
+        F.count("*").alias("common"),
+        F.sum(aa_term).cast("double").alias("adamic_adar"),
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        agg.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common", "deg_u", "deg_v",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+SQL_KG_NODE_SIMILARITY = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  m AS (SELECT DISTINCT doc_id, token FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT a.token AS u, b.token AS v
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token),
+  und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+  deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+  ctr AS (SELECT und.u AS w, und.v, d.deg AS deg_w
+          FROM und JOIN deg d ON d.node = und.u
+          WHERE d.deg <= {NODE_SIM_HUB_CAP}),
+  wed AS (SELECT a.w, a.v AS x, b.v AS y, a.deg_w
+          FROM ctr a JOIN ctr b ON a.w = b.w AND a.v < b.v),
+  agg AS (SELECT x AS u, y AS v, count(*) AS common,
+                 CAST(sum(CAST(round(1.0 / ln(deg_w), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS adamic_adar
+          FROM wed GROUP BY x, y)
+  SELECT agg.u, agg.v, common, du.deg AS deg_u, dv.deg AS deg_v,
+         round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
+           AS jaccard,
+         adamic_adar
+  FROM agg JOIN deg du ON du.node = agg.u JOIN deg dv ON dv.node = agg.v
+"""
+
+QUERIES["kg_node_similarity"] = q_kg_node_similarity
+ORACLES["kg_node_similarity"] = SQL_KG_NODE_SIMILARITY
+
+
+# ------------------------------------- leakage-safe split assign (oracled)
+# Train/val/test assignment that CANNOT leak near-duplicates across
+# splits: the split is a deterministic hash of the document's near-dup
+# COMPONENT (connected components over the MinHash-LSH pair graph;
+# singletons key on their own doc_id), so every member of a duplicate
+# cluster lands in the same split — the eval-contamination guard a
+# training-data release needs ON TOP of dedup (dedup keeps one canonical
+# copy per cluster, but if near-dups straddle the split boundary the
+# held-out set is still memorized). The component join is doc_id-keyed
+# (co-partitioned with the scan); the hash + bucketing is map-only — same
+# plan shape at 10^12 rows. Hash = md5-derived uniform, reproducible
+# across engines, runs, and cluster sizes (sample_stratified pattern).
+
+SPLIT_TRAIN_UB = 0.8
+SPLIT_VAL_UB = 0.9
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    comp = q_connected_components(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    key = F.coalesce(F.col("component"), F.col("doc_id")).cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sp:"), key)), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("group_key", key)
+        .withColumn("u", F.round(u, 6))
+        .withColumn(
+            "split",
+            F.when(F.col("u") < SPLIT_TRAIN_UB, "train")
+            .when(F.col("u") < SPLIT_VAL_UB, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "group_key", "u", "split")
+    )
+
+
+SQL_SPLIT_LEAKAGE_SAFE = f"""
+  WITH comp AS ({SQL_CONNECTED_COMPONENTS}),
+  j AS (SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS group_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+  h AS (SELECT doc_id, group_key, md5('sp:' || group_key) AS hh FROM j),
+  u AS (SELECT doc_id, group_key, round((
+            (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) / 65536.0, 6)
+          AS u
+        FROM h)
+  SELECT doc_id, group_key, u,
+         CASE WHEN u < {SPLIT_TRAIN_UB} THEN 'train'
+              WHEN u < {SPLIT_VAL_UB} THEN 'val'
+              ELSE 'test' END AS split
+  FROM u
+"""
+
+QUERIES["split_leakage_safe"] = q_split_leakage_safe
+ORACLES["split_leakage_safe"] = SQL_SPLIT_LEAKAGE_SAFE
+
+
+# --------------------------------------- containment dedup score (oracled)
+# Asymmetric near-dup detection: Jaccard misses a small document wholly
+# CONTAINED in a large one (|A∩B|/|A∪B| is tiny when |B| >> |A| even at
+# containment 1.0), which is exactly the quote/boilerplate-inclusion case
+# a corpus release cares about. For every LSH-banded candidate pair,
+# report the exact shingle containment in both directions —
+# |A∩B|/|A| and |A∩B|/|B| — computed PAIR-BOUNDED (one shingle-keyed join
+# per side over the banded candidates only, minhash_est_error pattern;
+# never all-pairs). At scale the pair table is the small side: everything
+# is keyed on (doc_a, doc_b) or doc_id.
+
+
+def q_dedup_containment(spark, sf_dir):
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    s = _shingles(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs
+        .join(s.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            "n_a", "n_b",
+            F.round(F.coalesce(F.col("inter"), F.lit(0)) / F.col("n_a"), 6)
+            .alias("containment_a"),
+            F.round(F.coalesce(F.col("inter"), F.lit(0)) / F.col("n_b"), 6)
+            .alias("containment_b"),
+        )
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+  WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+  pairs AS (SELECT * FROM ({SQL_DEDUP_MINHASH_LSH})),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS inter
+    FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+                 JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+    GROUP BY p.doc_a, p.doc_b)
+  SELECT p.doc_a, p.doc_b, coalesce(i.inter, 0) AS inter,
+         na.n AS n_a, nb.n AS n_b,
+         round(CAST(coalesce(i.inter, 0) AS DOUBLE) / na.n, 6)
+           AS containment_a,
+         round(CAST(coalesce(i.inter, 0) AS DOUBLE) / nb.n, 6)
+           AS containment_b
+  FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       JOIN sizes na ON na.doc_id = p.doc_a
+       JOIN sizes nb ON nb.doc_id = p.doc_b
+"""
+
+QUERIES["dedup_containment"] = q_dedup_containment
+ORACLES["dedup_containment"] = SQL_DEDUP_CONTAINMENT
+
+
+# ------------------------------------- embedding dimension stats (oracled)
+# Per-dimension corpus statistics over the embedding column — the
+# pre-flight diagnostic every vector pipeline runs before indexing (dead
+# dimensions, scale mismatches between encoder shards, clipped values all
+# show up here and silently wreck cosine ANN if unnoticed). One
+# posexplode + one dim-keyed aggregation: partial (map-side) combine
+# collapses each partition to n_dims rows before the exchange, so the
+# shuffle carries n_dims x n_partitions rows regardless of corpus size.
+# Elements are rounded to 6 dp and summed as EXACT decimals (sum and
+# sum-of-squares), then the mean/variance arithmetic runs on the exact
+# sums in IEEE doubles — bit-identical across engines and partitionings
+# (a plain double sum would be order-dependent).
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    x = _emb(spark, sf_dir).select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v"))).alias("ss"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    return agg.select(
+        "dim", "n",
+        F.round(s_d / F.col("n"), 6).alias("mean"),
+        F.round((ss_d - s_d * s_d / F.col("n")) / F.col("n"), 6).alias("variance"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+  WITH x AS (
+    SELECT CAST(i - 1 AS INT) AS dim,
+           CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+    FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+  ),
+  agg AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ss,
+                 min(v) AS vmin, max(v) AS vmax
+          FROM x GROUP BY dim)
+  SELECT dim, n,
+         round(CAST(s AS DOUBLE) / n, 6) AS mean,
+         round((CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6)
+           AS variance,
+         CAST(vmin AS DOUBLE) AS vmin,
+         CAST(vmax AS DOUBLE) AS vmax
+  FROM agg
+"""
+
+QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
+
+
+# ------------------------------------- KG link-prediction eval (oracled)
+# Held-out link-prediction evaluation over the entity graph — the
+# standard KG-completion quality gauge (does the graph's local structure
+# predict edges we hid from it?). A deterministic md5-hash split holds
+# out HOLDOUT_RATE of the edges; the predictor is common-neighbor count
+# on the REMAINING graph (wedges through hub-capped centers, the
+# kg_node_similarity kernel); for each held-out edge (u, v) we rank v
+# among u's non-adjacent candidates by (score DESC, name ASC) and report
+# rank, reciprocal rank, and hit@3. Every join is keyed on a node or a
+# bounded pair; the per-query rank window is bounded by the candidate
+# count the hub cap already bounds — nothing is corpus-global.
+
+LINKPRED_HOLDOUT_RATE = 0.25
+LINKPRED_HIT_K = 3
+
+
+def q_kg_link_prediction_eval(spark, sf_dir):
+    m = q_mentions_dict(spark, sf_dir).select("doc_id", "token").distinct()
+    a = m.select("doc_id", F.col("token").alias("u"))
+    b = m.select("doc_id", F.col("token").alias("v"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    uh = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lp:"), F.col("u"), F.lit("|"), F.col("v"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    hashed = edges.withColumn("uh", F.round(uh, 6)).localCheckpoint()
+    held = hashed.filter(F.col("uh") < LINKPRED_HOLDOUT_RATE).select("u", "v")
+    rest = hashed.filter(F.col("uh") >= LINKPRED_HOLDOUT_RATE).select("u", "v")
+    und = rest.unionAll(rest.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    ctr = und.join(
+        deg.select(F.col("node").alias("u"), "deg"), "u"
+    ).filter(F.col("deg") <= NODE_SIM_HUB_CAP)
+    lft = ctr.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    rgt = ctr.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    agg = (
+        lft.join(rgt, "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = agg.select(F.col("x").alias("q"), F.col("y").alias("cand"), "common").unionAll(
+        agg.select(F.col("y").alias("q"), F.col("x").alias("cand"), "common")
+    )
+    cand = cand.join(
+        und.select(F.col("u").alias("q"), F.col("v").alias("cand")),
+        ["q", "cand"],
+        "left_anti",
+    )
+    w = W.partitionBy("q").orderBy(F.desc("common"), F.asc("cand"))
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    return (
+        held.join(
+            ranked.select(
+                F.col("q").alias("u"), F.col("cand").alias("v"), "common", "rank"
+            ),
+            ["u", "v"],
+            "left",
+        )
+        .select(
+            "u", "v",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+            F.coalesce(F.col("rank"), F.lit(0)).alias("rank"),
+            F.round(
+                F.when(F.col("rank").isNull(), F.lit(0.0))
+                .otherwise(F.lit(1.0) / F.col("rank")),
+                6,
+            ).alias("rr"),
+            F.when(
+                F.coalesce(F.col("rank"), F.lit(10 ** 9)) <= LINKPRED_HIT_K, 1
+            ).otherwise(0).alias(f"hit{LINKPRED_HIT_K}"),
+        )
+    )
+
+
+SQL_KG_LINK_PREDICTION_EVAL = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  m AS (SELECT DISTINCT doc_id, token FROM toks JOIN dict ON token = surface),
+  edges AS (SELECT DISTINCT a.token AS u, b.token AS v
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token),
+  hashed AS (SELECT u, v, round((
+            (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) / 65536.0, 6)
+          AS uh
+        FROM (SELECT u, v, md5('lp:' || u || '|' || v) AS hh FROM edges)),
+  held AS (SELECT u, v FROM hashed WHERE uh < {LINKPRED_HOLDOUT_RATE}),
+  rest AS (SELECT u, v FROM hashed WHERE uh >= {LINKPRED_HOLDOUT_RATE}),
+  und AS (SELECT u, v FROM rest UNION ALL SELECT v AS u, u AS v FROM rest),
+  deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+  ctr AS (SELECT und.u AS w, und.v
+          FROM und JOIN deg d ON d.node = und.u
+          WHERE d.deg <= {NODE_SIM_HUB_CAP}),
+  agg AS (SELECT a.v AS x, b.v AS y, count(*) AS common
+          FROM ctr a JOIN ctr b ON a.w = b.w AND a.v < b.v
+          GROUP BY a.v, b.v),
+  cand0 AS (SELECT x AS q, y AS cand, common FROM agg
+            UNION ALL SELECT y AS q, x AS cand, common FROM agg),
+  cand AS (SELECT c.* FROM cand0 c
+           LEFT JOIN und e ON e.u = c.q AND e.v = c.cand
+           WHERE e.u IS NULL),
+  ranked AS (SELECT q, cand, common,
+                    CAST(row_number() OVER (PARTITION BY q
+                         ORDER BY common DESC, cand ASC) AS INT) AS rank
+             FROM cand)
+  SELECT h.u, h.v,
+         coalesce(r.common, 0) AS common,
+         coalesce(r.rank, 0) AS rank,
+         round(CASE WHEN r.rank IS NULL THEN 0.0 ELSE 1.0 / r.rank END, 6)
+           AS rr,
+         CASE WHEN coalesce(r.rank, 1000000000) <= {LINKPRED_HIT_K}
+              THEN 1 ELSE 0 END AS hit{LINKPRED_HIT_K}
+  FROM held h LEFT JOIN ranked r ON r.q = h.u AND r.cand = h.v
+"""
+
+QUERIES["kg_link_prediction_eval"] = q_kg_link_prediction_eval
+ORACLES["kg_link_prediction_eval"] = SQL_KG_LINK_PREDICTION_EVAL
