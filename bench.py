@@ -107,6 +107,12 @@ HEADLINE = [
     "dedup_containment",
     "embedding_dim_stats",
     "kg_link_prediction_eval",
+    "code_secret_scan",
+    "kg_predicate_cardinality",
+    "kg_hits",
+    "kg_community_conductance",
+    "embedding_quantize_sq",
+    "kg_entity_merge_apply",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))
