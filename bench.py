@@ -113,6 +113,7 @@ HEADLINE = [
     "kg_community_conductance",
     "embedding_quantize_sq",
     "kg_entity_merge_apply",
+    "ann_sq_recall",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -7075,3 +7075,121 @@ SQL_KG_ENTITY_MERGE_APPLY = f"""
 
 QUERIES["kg_entity_merge_apply"] = q_kg_entity_merge_apply
 ORACLES["kg_entity_merge_apply"] = SQL_KG_ENTITY_MERGE_APPLY
+
+
+# ------------------------------------- int8-SQ retrieval recall (oracled)
+# Closes the loop on embedding_quantize_sq: does the 4x-smaller int8
+# index actually retrieve the same neighbors? Recall@K of brute-force
+# cosine over SQ-RECONSTRUCTED vectors vs exact cosine, per query
+# (vec_id < 20, the bounded slice every brute-force baseline here uses) —
+# the ann_recall_report pattern applied to the quantizer instead of the
+# bucketer. The per-dimension (min, span) grid is collected to the driver
+# and folded into the projection as literal arrays: the stats table is
+# SCHEMA-bounded (n_dims rows — the kg_type_closure driver-side-policy
+# precedent), so de-quantization is one map-only transform() and both
+# cosine scans keep the whole-array zip_with shape (no dimension
+# explode). Quantize/reconstruct arithmetic is the identical double
+# expression on both engines — bit-equal, so ranks agree exactly.
+
+SQ_RECALL_K = 5
+SQ_RECALL_MAX_QID = 20
+
+
+def q_ann_sq_recall(spark, sf_dir):
+    from .operators.ivf import _cos_expr
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select(
+        "vec_id", F.posexplode("v").alias("d", "val")
+    ).select("d", F.round("val", 6).alias("v6"))
+    stats = sorted(
+        x.groupBy("d").agg(F.min("v6").alias("mn"), F.max("v6").alias("mx")).collect(),
+        key=lambda r: r.d,
+    )
+    mn_arr = F.array(*[F.lit(float(r.mn)) for r in stats])
+    span_arr = F.array(*[F.lit(float(r.mx - r.mn)) for r in stats])
+    def _recon(val, i):
+        mn = F.element_at(mn_arr, i + 1)
+        span = F.element_at(span_arr, i + 1)
+        v6 = F.round(val, 6)
+        qq = F.round((v6 - mn) / span * F.lit(255.0))
+        return F.when(span > 0, mn + qq * span / F.lit(255.0)).otherwise(mn)
+    rec = e.select("vec_id", F.transform("v", _recon).alias("rv"))
+    a = rec.filter(F.col("vec_id") < SQ_RECALL_MAX_QID).select(
+        F.col("vec_id").alias("qid"), F.col("rv").alias("va")
+    )
+    b = rec.select(F.col("vec_id").alias("nid"), F.col("rv").alias("vb"))
+    sq_pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _cos_expr("va", "vb").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
+    sq_top = (
+        sq_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SQ_RECALL_K)
+        .select("qid", "nid", F.lit(1).alias("hit"))
+    )
+    exact = q_cosine_topk(spark, sf_dir).select("qid", "nid")
+    return (
+        exact.join(sq_top, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "qid",
+            F.lit(SQ_RECALL_K).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(SQ_RECALL_K)), 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_SQ_RECALL = f"""
+  WITH raw AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM raw GROUP BY vec_id),
+  edot AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+           FROM raw a JOIN raw b ON a.d = b.d AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < {SQ_RECALL_MAX_QID}
+           GROUP BY a.vec_id, b.vec_id),
+  ex_pairs AS (SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+               FROM edot JOIN nrm na ON na.vec_id = qid
+                         JOIN nrm nb ON nb.vec_id = nid),
+  ex_top AS (SELECT qid, nid FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY round(cos, 6) DESC, nid ASC) AS rk
+      FROM ex_pairs) WHERE rk <= {SQ_RECALL_K}),
+  rv AS (SELECT vec_id, d, round(v, 6) AS v6 FROM raw),
+  stats AS (SELECT d, min(v6) AS mn, max(v6) AS mx FROM rv GROUP BY d),
+  rec AS (SELECT vec_id, rv.d,
+                 CASE WHEN mx > mn
+                 THEN mn + round((v6 - mn) / (mx - mn) * 255.0)
+                      * (mx - mn) / 255.0
+                 ELSE mn END AS rv
+          FROM rv JOIN stats ON stats.d = rv.d),
+  rnrm AS (SELECT vec_id, sqrt(sum(rv * rv)) AS norm FROM rec GROUP BY vec_id),
+  rdot AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.rv * b.rv) AS dot
+           FROM rec a JOIN rec b ON a.d = b.d AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < {SQ_RECALL_MAX_QID}
+           GROUP BY a.vec_id, b.vec_id),
+  sq_pairs AS (SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+               FROM rdot JOIN rnrm na ON na.vec_id = qid
+                         JOIN rnrm nb ON nb.vec_id = nid),
+  sq_top AS (SELECT qid, nid FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY round(cos, 6) DESC, nid ASC) AS rk
+      FROM sq_pairs) WHERE rk <= {SQ_RECALL_K})
+  SELECT e.qid, {SQ_RECALL_K} AS k,
+         CAST(count(s.nid) AS BIGINT) AS n_hits,
+         round(CAST(count(s.nid) AS DOUBLE) / {SQ_RECALL_K}.0, 6) AS recall
+  FROM ex_top e LEFT JOIN sq_top s ON s.qid = e.qid AND s.nid = e.nid
+  GROUP BY e.qid
+"""
+
+QUERIES["ann_sq_recall"] = q_ann_sq_recall
+ORACLES["ann_sq_recall"] = SQL_ANN_SQ_RECALL

@@ -203,3 +203,49 @@ def test_entity_merge_invariants(spark, triples):
         t = p.removeprefix("mentions_")
         assert rev_canon[o] == t
         assert type_of[o] == t
+
+
+def test_ann_sq_recall_matches_numpy(spark):
+    from obiemachinelearningframework_spark.queries import (
+        SQ_RECALL_K,
+        SQ_RECALL_MAX_QID,
+        q_ann_sq_recall,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+
+    def topk(m):
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        out = {}
+        for qi in np.where(ids < SQ_RECALL_MAX_QID)[0]:
+            cand = [
+                (round(sims[qi, j], 6), -int(ids[j]))
+                for j in range(len(ids))
+                if j != qi
+            ]
+            cand.sort(reverse=True)
+            out[int(ids[qi])] = {-c[1] for c in cand[:SQ_RECALL_K]}
+        return out
+
+    exact = topk(mat)
+    r6 = np.round(mat, 6)
+    mn, mx = r6.min(axis=0), r6.max(axis=0)
+    span = mx - mn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rec = np.where(
+            span > 0, mn + np.round((r6 - mn) / span * 255.0) * span / 255.0, mn
+        )
+    sq = topk(rec)
+    got = {r.qid: r for r in q_ann_sq_recall(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    for qid in exact:
+        hits = len(exact[qid] & sq[qid])
+        g = got[qid]
+        assert g.k == SQ_RECALL_K
+        assert g.n_hits == hits, qid
+        assert g.recall == pytest.approx(round(hits / SQ_RECALL_K, 6), abs=1e-9)
+    # the quantizer is usable: mean recall stays high on this corpus
+    assert np.mean([g.recall for g in got.values()]) >= 0.9
