@@ -1,0 +1,77 @@
+"""Streaming similarity search vs a static IVF index
+(streaming/ann_stream.py): the streamed top-k equals the batch
+operators/ivf.ivf_topk answer row-for-row for the same queries and
+index; a second drain serves only the newly-arrived queries; a re-drain
+with no new files appends nothing."""
+
+import pyspark.sql.functions as F
+
+from obiemachinelearningframework_spark.operators.ivf import ivf_topk, train_codebook
+from obiemachinelearningframework_spark.streaming.ann_stream import (
+    build_ann_index,
+    stream_ann_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K, NPROBE, CB_K = 3, 2, 8
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(spark, lo, hi):
+    return (
+        _emb(spark)
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+
+
+def _batch_expected(spark, lo, hi):
+    emb = _emb(spark)
+    codebook = train_codebook(emb, k=CB_K)
+    qids = _queries(spark, lo, hi).select("qid")
+    return {
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in ivf_topk(emb, codebook, qids, k=K, nprobe=NPROBE).collect()
+    }
+
+
+def test_stream_ann_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    build_ann_index(_emb(spark), idx_dir, k=CB_K)
+
+    # drain 1: queries 0..10
+    _queries(spark, 0, 10).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_ann_topk(spark, in_dir, idx_dir, out_dir, ck, k=K, nprobe=NPROBE)
+    got1 = {
+        (r.qid, r.nid, r.rank, r.cos) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == _batch_expected(spark, 0, 10)
+    assert len({q for q, _, _, _ in got1}) == 10
+    # every query got a full, properly-ranked top-k
+    for q in {q for q, _, _, _ in got1}:
+        assert sorted(r for (qq, _, r, _) in got1 if qq == q) == list(range(1, K + 1))
+
+    # drain 2: only the new queries are served, earlier output untouched
+    _queries(spark, 10, 15).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_ann_topk(spark, in_dir, idx_dir, out_dir, ck, k=K, nprobe=NPROBE)
+    got2 = {
+        (r.qid, r.nid, r.rank, r.cos) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == _batch_expected(spark, 0, 15)
+
+    # drain 3: nothing new -> nothing appended
+    stream_ann_topk(spark, in_dir, idx_dir, out_dir, ck, k=K, nprobe=NPROBE)
+    got3 = {
+        (r.qid, r.nid, r.rank, r.cos) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got3 == got2
