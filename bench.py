@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_quantize_sq",
     "kg_entity_merge_apply",
     "ann_sq_recall",
+    "embedding_outliers",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

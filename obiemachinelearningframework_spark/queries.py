@@ -7193,3 +7193,88 @@ SQL_ANN_SQ_RECALL = f"""
 
 QUERIES["ann_sq_recall"] = q_ann_sq_recall
 ORACLES["ann_sq_recall"] = SQL_ANN_SQ_RECALL
+
+
+# ------------------------------------- embedding outlier report (oracled)
+# Corpus-cleaning gauge in embedding space: a vector whose cosine to its
+# own nearest centroid sits far below its CLUSTER's mean is an outlier —
+# mis-embedded garbage, encoder drift, or genuinely off-distribution
+# content — and is exactly what a release filters (or routes to review)
+# before training. Reuses dedup_semantic's pinned-codebook assignment
+# (broadcast centroids, one window on the vector key), then ONE
+# cluster-keyed aggregation with exact-decimal sums (the
+# embedding_dim_stats trick, so the cluster mean is identical across
+# engines and partitionings) joined back on the cluster key. Nothing
+# corpus-global; the stats table is K rows.
+
+OUTLIER_MARGIN = 0.15  # below (cluster mean - margin) => outlier
+
+
+def q_embedding_outliers(spark, sf_dir):
+    from .operators.ivf import _cos_expr
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    ac = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos_expr("v", "cv").alias("cos_c")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cos_c", 6)), F.asc("cid")
+    )
+    assigned = (
+        ac.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "cid", F.round("cos_c", 6).alias("centroid_cos"))
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("centroid_cos").cast("decimal(18,6)")).alias("s"),
+    ).select(
+        "cid", "n_members",
+        F.round(F.col("s").cast("double") / F.col("n_members"), 6).alias(
+            "cluster_mean"
+        ),
+    )
+    return assigned.join(stats, "cid").select(
+        "vec_id", "cid", "centroid_cos", "n_members", "cluster_mean",
+        F.when(
+            F.col("centroid_cos") < F.col("cluster_mean") - F.lit(OUTLIER_MARGIN),
+            1,
+        ).otherwise(0).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  cent AS (SELECT vec_id AS cid, d, v AS cv FROM e WHERE vec_id < {SEM_K}),
+  cnorm AS (SELECT cid, sqrt(sum(cv * cv)) AS cnorm FROM cent GROUP BY cid),
+  cdot AS (SELECT e.vec_id, cent.cid, sum(e.v * cent.cv) AS dot
+           FROM e JOIN cent ON e.d = cent.d GROUP BY e.vec_id, cent.cid),
+  ac AS (SELECT cdot.vec_id, cdot.cid,
+                round(cdot.dot / (norm.norm * cnorm.cnorm), 6) AS cos_c,
+                row_number() OVER (PARTITION BY cdot.vec_id
+                     ORDER BY round(cdot.dot / (norm.norm * cnorm.cnorm), 6) DESC,
+                              cdot.cid ASC) AS r
+         FROM cdot JOIN norm ON norm.vec_id = cdot.vec_id
+                   JOIN cnorm ON cnorm.cid = cdot.cid),
+  assigned AS (SELECT vec_id, cid, cos_c AS centroid_cos FROM ac WHERE r = 1),
+  stats AS (SELECT cid, count(*) AS n_members,
+                   round(CAST(sum(CAST(centroid_cos AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*), 6) AS cluster_mean
+            FROM assigned GROUP BY cid)
+  SELECT a.vec_id, a.cid, a.centroid_cos, s.n_members, s.cluster_mean,
+         CAST(CASE WHEN a.centroid_cos < s.cluster_mean - {OUTLIER_MARGIN}
+              THEN 1 ELSE 0 END AS INT) AS is_outlier
+  FROM assigned a JOIN stats s USING (cid)
+"""
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+ORACLES["embedding_outliers"] = SQL_EMBEDDING_OUTLIERS

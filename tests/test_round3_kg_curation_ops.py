@@ -249,3 +249,42 @@ def test_ann_sq_recall_matches_numpy(spark):
         assert g.recall == pytest.approx(round(hits / SQ_RECALL_K, 6), abs=1e-9)
     # the quantizer is usable: mean recall stays high on this corpus
     assert np.mean([g.recall for g in got.values()]) >= 0.9
+
+
+def test_embedding_outliers_matches_numpy(spark):
+    from obiemachinelearningframework_spark.queries import (
+        OUTLIER_MARGIN,
+        SEM_K,
+        q_embedding_outliers,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mn[ids < SEM_K]
+    cids = ids[ids < SEM_K]
+    sims = np.round(mn @ cent.T, 6)
+    # nearest pinned centroid, ties to the smaller cid
+    best = {}
+    for r, vid in enumerate(ids):
+        order = sorted(range(len(cids)), key=lambda j: (-sims[r, j], cids[j]))
+        best[int(vid)] = (int(cids[order[0]]), sims[r, order[0]])
+    means = defaultdict(list)
+    for vid, (cid, c) in best.items():
+        means[cid].append(c)
+    cmean = {cid: round(sum(cs) / len(cs), 6) for cid, cs in means.items()}
+    got = {r.vec_id: r for r in q_embedding_outliers(spark, SF_DIR).collect()}
+    assert set(got) == set(best)
+    n_out = 0
+    for vid, (cid, c) in best.items():
+        g = got[vid]
+        assert g.cid == cid, vid
+        assert g.centroid_cos == pytest.approx(c, abs=2e-6)
+        assert g.n_members == len(means[cid])
+        assert g.cluster_mean == pytest.approx(cmean[cid], abs=2e-6)
+        exp_out = int(c < cmean[cid] - OUTLIER_MARGIN)
+        assert g.is_outlier == exp_out, vid
+        n_out += exp_out
+    # the report flags a small but nonzero tail on this corpus
+    assert 0 < n_out < len(best) * 0.2
