@@ -35,11 +35,27 @@ from pyspark.sql import types as T
 
 from ..operators.ivf import _cos_expr, train_codebook
 
-__all__ = ["QUERY_SCHEMA", "build_ann_index", "annotate_queries", "stream_ann_topk"]
+__all__ = [
+    "QUERY_SCHEMA",
+    "VECTOR_SCHEMA",
+    "build_ann_index",
+    "load_lists",
+    "annotate_queries",
+    "stream_ann_topk",
+    "stream_ann_index_update",
+    "compact_ann_index",
+]
 
 QUERY_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+VECTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ]
 )
@@ -67,6 +83,106 @@ def build_ann_index(
         .partitionBy("cid")
         .parquet(os.path.join(index_dir, "lists"))
     )
+
+
+def load_lists(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Current serving view of the inverted lists: the committed base
+    (CURRENT-pointer side after a compaction, else the original build)
+    unioned with any streamed delta, deduplicated on the vector id. The
+    nid-dedup makes every read path idempotent under the one crash window
+    compaction has (flip committed, delta not yet cleared): a vector
+    present in both base and delta resolves to one identical row."""
+    ptr = os.path.join(index_dir, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            side = f.read().strip()
+        base = spark.read.parquet(os.path.join(index_dir, side))
+    else:
+        base = spark.read.parquet(os.path.join(index_dir, "lists"))
+    base = base.select("cid", "nid", "nv")
+    delta_dir = os.path.join(index_dir, "lists_delta")
+    if os.path.isdir(delta_dir) and any(
+        not e.startswith((".", "_")) for e in os.listdir(delta_dir)
+    ):
+        delta = spark.read.parquet(delta_dir).select("cid", "nid", "nv")
+        base = base.unionByName(delta)
+    return base.dropDuplicates(["nid"])
+
+
+def stream_ann_index_update(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Index MAINTENANCE: new corpus vectors landing in ``input_dir`` are
+    assigned to their nearest centroid (broadcast codebook — the codebook
+    stays fixed between retrains, exactly like a production IVF index)
+    and appended to a delta area partitioned by batch_id with
+    dynamic-overwrite idempotency; load_lists() serves base + delta, and
+    compact_ann_index() folds the delta into the base. Per batch the only
+    work is one broadcast assignment map + one batch-sized write —
+    nothing rescans the at-rest index."""
+    codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    delta_dir = os.path.join(index_dir, "lists_delta")
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        e = batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        ac = e.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", "v", "cid", _cos_expr("v", "cv").alias("cos_c")
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.desc(F.round("cos_c", 6)), F.asc("cid")
+        )
+        (
+            ac.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("cid", F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+            .withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(delta_dir)
+        )
+
+    src = spark.readStream.schema(VECTOR_SCHEMA).parquet(input_dir)
+    writer = (
+        src.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold the streamed delta into the base lists: write the merged
+    lists to the non-current A/B side, atomically flip the CURRENT
+    pointer (the kg_stream/catalog.py write-then-commit discipline —
+    a crash mid-write leaves the previous base intact), then clear the
+    delta. A crash AFTER the flip but BEFORE the clear is harmless:
+    load_lists() dedups on nid, so leftover delta rows are no-ops."""
+    import shutil
+
+    merged = load_lists(spark, index_dir).localCheckpoint()
+    ptr = os.path.join(index_dir, "CURRENT")
+    cur = open(ptr).read().strip() if os.path.exists(ptr) else "lists"
+    nxt = "lists_a" if cur in ("lists", "lists_b") else "lists_b"
+    merged.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(index_dir, nxt)
+    )
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(nxt)
+    os.replace(tmp, ptr)  # atomic flip = the commit
+    delta_dir = os.path.join(index_dir, "lists_delta")
+    if os.path.isdir(delta_dir):
+        shutil.rmtree(delta_dir)
 
 
 def annotate_queries(
@@ -117,7 +233,7 @@ def stream_ann_topk(
     dynamic-overwrite idempotency. Returns the StreamingQuery (drained
     when ``available_now``)."""
     codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    lists = load_lists(spark, index_dir)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         (

@@ -75,3 +75,70 @@ def test_stream_ann_matches_batch(spark, tmp_path):
         (r.qid, r.nid, r.rank, r.cos) for r in spark.read.parquet(out_dir).collect()
     }
     assert got3 == got2
+
+
+def test_stream_index_update_and_compaction(spark, tmp_path):
+    """Index maintenance: streamed vectors join the serving view exactly
+    as if they had been indexed at build time; a re-drain adds nothing;
+    compaction folds the delta into the base without changing a single
+    served row."""
+    from obiemachinelearningframework_spark.streaming.ann_stream import (
+        compact_ann_index,
+        load_lists,
+        stream_ann_index_update,
+    )
+    import os
+
+    idx_dir = str(tmp_path / "idx")
+    upd_in = str(tmp_path / "upd_in")
+    upd_ck = str(tmp_path / "upd_ck")
+
+    emb = _emb(spark)
+    n_total = emb.count()
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ann_index(base, idx_dir, k=CB_K)
+
+    def _vectors(lo, hi):
+        return (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        )
+
+    _vectors(400, 450).coalesce(1).write.mode("append").parquet(upd_in)
+    stream_ann_index_update(spark, upd_in, idx_dir, upd_ck)
+    _vectors(450, 10**9).coalesce(1).write.mode("append").parquet(upd_in)
+    stream_ann_index_update(spark, upd_in, idx_dir, upd_ck)
+    assert load_lists(spark, idx_dir).count() == n_total
+
+    # expected: batch ivf_topk over the FULL corpus with the BASE codebook
+    codebook = spark.read.parquet(f"{idx_dir}/codebook")
+    qids = _queries(spark, 395, 405).select("qid")
+    expected = {
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in ivf_topk(emb, codebook, qids, k=K, nprobe=NPROBE).collect()
+    }
+    # served answers must involve streamed vectors for this query range
+    assert any(nid >= 400 for _, nid, _, _ in expected)
+
+    def _serve(tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        out_dir = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        _queries(spark, 395, 405).coalesce(1).write.mode("append").parquet(in_dir)
+        stream_ann_topk(spark, in_dir, idx_dir, out_dir, ck, k=K, nprobe=NPROBE)
+        return {
+            (r.qid, r.nid, r.rank, r.cos)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    assert _serve("pre") == expected
+
+    # re-drain with nothing new: the delta (and so the view) is unchanged
+    stream_ann_index_update(spark, upd_in, idx_dir, upd_ck)
+    assert load_lists(spark, idx_dir).count() == n_total
+
+    compact_ann_index(spark, idx_dir)
+    assert os.path.exists(f"{idx_dir}/CURRENT")
+    assert not os.path.isdir(f"{idx_dir}/lists_delta")
+    assert load_lists(spark, idx_dir).count() == n_total
+    assert _serve("post") == expected
