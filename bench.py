@@ -115,6 +115,7 @@ HEADLINE = [
     "kg_entity_merge_apply",
     "ann_sq_recall",
     "embedding_outliers",
+    "range_split_points",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

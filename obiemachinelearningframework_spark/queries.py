@@ -7278,3 +7278,83 @@ SQL_EMBEDDING_OUTLIERS = f"""
 
 QUERIES["embedding_outliers"] = q_embedding_outliers
 ORACLES["embedding_outliers"] = SQL_EMBEDDING_OUTLIERS
+
+
+# ------------------------------------- range-partition planner (oracled)
+# The second half of the explicit-skew story: skew_profile plans SALT
+# buckets for hot categorical keys; this plans RANGE split points for a
+# skewed numeric sort key (here l_extendedprice) — the boundaries a
+# repartitionByRange / sorted-write needs so every output partition holds
+# ~N/B rows even under a lopsided value distribution. Spark's built-in
+# range partitioner samples (nondeterministic across runs/cluster
+# sizes); this derives the boundaries from a FIXED-WIDTH histogram
+# instead: one keyed aggregation whose state is bounded by domain/width
+# (not rows), a cumulative sum over that bounded histogram (the
+# documented skew_profile-style unpartitioned window over a bounded
+# table), and a broadcast non-equi join picking, per target rank k*N/B,
+# the first bucket whose cumulative count reaches it. Fully
+# deterministic across engines, runs, and partitionings — the property a
+# resumable pipeline needs from its partitioner.
+
+RANGE_BUCKET_W = 1000.0  # histogram bucket width (price units)
+RANGE_PARTS = 8          # target partition count
+
+
+def q_range_split_points(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.floor(F.col("l_extendedprice") / F.lit(RANGE_BUCKET_W))
+        .cast("bigint")
+        .alias("b")
+    )
+    h = li.groupBy("b").agg(F.count("*").alias("n"))
+    cum = h.withColumn(
+        "cum",
+        F.sum("n").over(
+            W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = h.agg(F.sum("n").alias("tot"))
+    parts = tot.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, RANGE_PARTS)])).alias("k"),
+        "tot",
+    ).select(
+        "k",
+        F.ceil(F.col("k") * F.col("tot") / F.lit(float(RANGE_PARTS)))
+        .cast("bigint")
+        .alias("target"),
+    )
+    return (
+        F.broadcast(parts)
+        .join(cum, cum.cum >= parts.target)
+        .groupBy("k", "target")
+        .agg(
+            F.min("b").alias("bmin"),
+            F.expr("min_by(cum, b)").cast("bigint").alias("rows_below"),
+        )
+        .select(
+            "k", "target",
+            ((F.col("bmin") + 1) * F.lit(RANGE_BUCKET_W)).alias("boundary"),
+            "rows_below",
+        )
+    )
+
+
+SQL_RANGE_SPLIT_POINTS = f"""
+  WITH h AS (
+    SELECT CAST(floor(l_extendedprice / {RANGE_BUCKET_W}) AS BIGINT) AS b,
+           count(*) AS n
+    FROM lineitem GROUP BY 1),
+  cum AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+  tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h),
+  parts AS (SELECT CAST(t.k AS INT) AS k,
+                   CAST(ceil(t.k * tot / {float(RANGE_PARTS)}) AS BIGINT) AS target
+            FROM tot, unnest(range(1, {RANGE_PARTS})) AS t(k))
+  SELECT p.k, p.target,
+         (min(c.b) + 1) * {RANGE_BUCKET_W} AS boundary,
+         CAST(arg_min(c.cum, c.b) AS BIGINT) AS rows_below
+  FROM parts p JOIN cum c ON c.cum >= p.target
+  GROUP BY p.k, p.target
+"""
+
+QUERIES["range_split_points"] = q_range_split_points
+ORACLES["range_split_points"] = SQL_RANGE_SPLIT_POINTS

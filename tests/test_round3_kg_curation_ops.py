@@ -288,3 +288,31 @@ def test_embedding_outliers_matches_numpy(spark):
         n_out += exp_out
     # the report flags a small but nonzero tail on this corpus
     assert 0 < n_out < len(best) * 0.2
+
+
+def test_range_split_points_matches_python(spark):
+    from obiemachinelearningframework_spark.queries import (
+        RANGE_BUCKET_W,
+        RANGE_PARTS,
+        q_range_split_points,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR.replace('sf0.001', 'sf0.001')}/lineitem.parquet")
+    b = np.floor(li.l_extendedprice.to_numpy() / RANGE_BUCKET_W).astype(np.int64)
+    buckets, counts = np.unique(b, return_counts=True)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    got = {r.k: r for r in q_range_split_points(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, RANGE_PARTS))
+    for k in range(1, RANGE_PARTS):
+        target = int(np.ceil(k * n / RANGE_PARTS))
+        i = int(np.searchsorted(cum, target))
+        g = got[k]
+        assert g.target == target
+        assert g.boundary == (buckets[i] + 1) * RANGE_BUCKET_W
+        assert g.rows_below == cum[i]
+        # equi-depth within one bucket's worth of rows
+        assert g.rows_below - target < counts[i]
+    # boundaries strictly increase and rows_below is monotone
+    bs = [got[k].boundary for k in range(1, RANGE_PARTS)]
+    assert bs == sorted(bs) and len(set(bs)) == len(bs)
