@@ -6748,13 +6748,18 @@ HITS_ITERS = 3
 
 
 def q_kg_hits(spark, sf_dir):
+    # EAGER checkpoints, exactly like kg_pagerank: every iteration
+    # re-reads edge-/node-sized checkpointed tables instead of
+    # re-deriving the extraction subtree per join branch (lazy
+    # checkpoints leave the full subtree in the plan — audited at 142
+    # exchanges vs ~34 with the cut)
     t = q_triples_kg(spark, sf_dir)
-    edges = t.select("subj", "obj").distinct().localCheckpoint(eager=False)
+    edges = t.select("subj", "obj").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .union(edges.select(F.col("obj").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     dec = "decimal(38,0)"
     hub = nodes.select("node", F.lit(1).cast(dec).alias("hub"))
@@ -6765,16 +6770,24 @@ def q_kg_hits(spark, sf_dir):
             .groupBy(F.col("obj").alias("node"))
             .agg(F.sum("hub").alias("s"))
         )
-        auth = nodes.join(a_s, "node", "left").select(
-            "node", F.coalesce(F.col("s"), F.lit(0)).cast(dec).alias("auth")
+        # per-round lazy checkpoints (the LPA pattern): auth feeds BOTH
+        # the hub update and the final join, and hub feeds the next
+        # round — without the cut each reference re-derives the whole
+        # history and the plan doubles per round (audited at 92 SMJ)
+        auth = (
+            nodes.join(a_s, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).cast(dec).alias("auth"))
+            .localCheckpoint(eager=False)
         )
         h_s = (
             edges.join(auth.select(F.col("node").alias("obj"), "auth"), "obj")
             .groupBy(F.col("subj").alias("node"))
             .agg(F.sum("auth").alias("s"))
         )
-        hub = nodes.join(h_s, "node", "left").select(
-            "node", F.coalesce(F.col("s"), F.lit(0)).cast(dec).alias("hub")
+        hub = (
+            nodes.join(h_s, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).cast(dec).alias("hub"))
+            .localCheckpoint(eager=False)
         )
     j = auth.join(hub, "node")
     mx = j.agg(F.max("auth").alias("ma"), F.max("hub").alias("mh"))
