@@ -142,3 +142,45 @@ def test_stream_index_update_and_compaction(spark, tmp_path):
     assert not os.path.isdir(f"{idx_dir}/lists_delta")
     assert load_lists(spark, idx_dir).count() == n_total
     assert _serve("post") == expected
+
+
+def test_compaction_crash_window_is_noop(spark, tmp_path):
+    """Crash AFTER the CURRENT flip but BEFORE the delta clear: leftover
+    delta rows duplicate vectors already folded into the base; the
+    serving view must dedup them into exactly the committed index."""
+    from obiemachinelearningframework_spark.streaming.ann_stream import (
+        compact_ann_index,
+        load_lists,
+        stream_ann_index_update,
+    )
+    import os
+    import shutil
+
+    idx_dir = str(tmp_path / "idx")
+    upd_in = str(tmp_path / "upd_in")
+    upd_ck = str(tmp_path / "upd_ck")
+
+    emb = _emb(spark)
+    n_total = emb.count()
+    build_ann_index(emb.filter(F.col("vec_id") < 400), idx_dir, k=CB_K)
+    (
+        emb.filter(F.col("vec_id") >= 400)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .coalesce(1).write.mode("append").parquet(upd_in)
+    )
+    stream_ann_index_update(spark, upd_in, idx_dir, upd_ck)
+
+    # snapshot the delta, compact, then restore the delta = the crash state
+    delta_dir = os.path.join(idx_dir, "lists_delta")
+    saved = str(tmp_path / "delta_saved")
+    shutil.copytree(delta_dir, saved)
+    compact_ann_index(spark, idx_dir)
+    assert not os.path.isdir(delta_dir)
+    shutil.copytree(saved, delta_dir)
+
+    view = load_lists(spark, idx_dir)
+    assert view.count() == n_total
+    assert view.select("nid").distinct().count() == n_total
+    # a fresh compaction from the crash state converges to the same index
+    compact_ann_index(spark, idx_dir)
+    assert load_lists(spark, idx_dir).count() == n_total
