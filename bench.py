@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_sq_recall",
     "embedding_outliers",
     "range_split_points",
+    "code_symbol_dups",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

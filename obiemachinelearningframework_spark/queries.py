@@ -7371,3 +7371,85 @@ SQL_RANGE_SPLIT_POINTS = f"""
 
 QUERIES["range_split_points"] = q_range_split_points
 ORACLES["range_split_points"] = SQL_RANGE_SPLIT_POINTS
+
+
+# -------------------------------------- duplicate symbol report (oracled)
+# Symbol-level KG construction over the code corpus: function/class
+# definition names are extracted per file (regexp groups riding in the
+# scan projection — the mention-detection pattern applied to code
+# syntax), exploded into (file) -defines-> (symbol) facts, and rolled up
+# into the cross-file duplicate-symbol report — N files defining the
+# same symbol is the copy/vendor signal at symbol granularity (finer
+# than repo_fork_overlap's paragraph hashes, coarser than
+# clone_pairs_winnow's token fingerprints). Definitions are doc_id-
+# derived synthesis on the word-soup testdata (license_detect pattern);
+# over real code only the synthesis column changes. Plan: one map-only
+# extraction projection + one explode + DISTINCT + one symbol-keyed
+# aggregation; per-(symbol, kind) state is one count — a boilerplate
+# symbol in 10^9 files is one hot reduce key, absorbed by partial
+# aggregation (map-side combine), never a gathered list.
+
+SYMBOL_DEF_PAT = r"def ([a-z_][a-z0-9_]*)\("
+SYMBOL_CLASS_PAT = r"class ([A-Za-z_][A-Za-z0-9_]*):"
+SYMBOL_MIN_FILES = 2
+
+
+def q_code_symbol_dups(spark, sf_dir):
+    mod = (F.col("doc_id") % 3).cast("int")
+    planted = (
+        F.when(mod == 0, F.concat(F.lit("def util_"),
+                                  (F.col("doc_id") % 20).cast("string"),
+                                  F.lit("(): pass")))
+        .when(mod == 1, F.concat(F.lit("class Model_"),
+                                 (F.col("doc_id") % 15).cast("string"),
+                                 F.lit(":")))
+        .otherwise(F.lit(""))
+    )
+    files = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), planted).alias("content")
+    )
+    defs = files.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.regexp_extract_all(F.col("content"), F.lit(SYMBOL_DEF_PAT), 1),
+                    lambda s: F.struct(F.lit("func").alias("kind"), s.alias("symbol")),
+                ),
+                F.transform(
+                    F.regexp_extract_all(F.col("content"), F.lit(SYMBOL_CLASS_PAT), 1),
+                    lambda s: F.struct(F.lit("class").alias("kind"), s.alias("symbol")),
+                ),
+            )
+        ).alias("d"),
+    ).select("doc_id", "d.kind", "d.symbol").distinct()
+    return (
+        defs.groupBy("kind", "symbol")
+        .agg(F.count("*").alias("n_files"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_files") >= SYMBOL_MIN_FILES)
+    )
+
+
+SQL_CODE_SYMBOL_DUPS = f"""
+  WITH files AS (
+    SELECT doc_id, text || ' ' ||
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'def util_' || CAST(doc_id % 20 AS VARCHAR) || '(): pass'
+        WHEN 1 THEN 'class Model_' || CAST(doc_id % 15 AS VARCHAR) || ':'
+        ELSE '' END AS content
+    FROM documents),
+  defs AS (
+    SELECT DISTINCT doc_id, 'func' AS kind, unnest(
+        regexp_extract_all(content, 'def ([a-z_][a-z0-9_]*)\\(', 1)) AS symbol
+    FROM files
+    UNION
+    SELECT DISTINCT doc_id, 'class' AS kind, unnest(
+        regexp_extract_all(content, 'class ([A-Za-z_][A-Za-z0-9_]*):', 1)) AS symbol
+    FROM files)
+  SELECT kind, symbol, count(*) AS n_files, min(doc_id) AS first_doc
+  FROM defs GROUP BY kind, symbol
+  HAVING count(*) >= {SYMBOL_MIN_FILES}
+"""
+
+QUERIES["code_symbol_dups"] = q_code_symbol_dups
+ORACLES["code_symbol_dups"] = SQL_CODE_SYMBOL_DUPS

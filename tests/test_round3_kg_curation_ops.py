@@ -316,3 +316,32 @@ def test_range_split_points_matches_python(spark):
     # boundaries strictly increase and rows_below is monotone
     bs = [got[k].boundary for k in range(1, RANGE_PARTS)]
     assert bs == sorted(bs) and len(set(bs)) == len(bs)
+
+
+def test_code_symbol_dups_matches_python(spark, docs_pd):
+    from obiemachinelearningframework_spark.queries import (
+        SYMBOL_MIN_FILES,
+        q_code_symbol_dups,
+    )
+
+    defs = defaultdict(set)
+    for _, row in docs_pd.iterrows():
+        did = int(row.doc_id)
+        content = row.text + " "
+        if did % 3 == 0:
+            content += f"def util_{did % 20}(): pass"
+        elif did % 3 == 1:
+            content += f"class Model_{did % 15}:"
+        for m in re.finditer(r"def ([a-z_][a-z0-9_]*)\(", content):
+            defs[("func", m.group(1))].add(did)
+        for m in re.finditer(r"class ([A-Za-z_][A-Za-z0-9_]*):", content):
+            defs[("class", m.group(1))].add(did)
+    expected = {k: v for k, v in defs.items() if len(v) >= SYMBOL_MIN_FILES}
+    got = {(r.kind, r.symbol): r for r in q_code_symbol_dups(spark, SF_DIR).collect()}
+    assert set(got) == set(expected)
+    for k, files in expected.items():
+        assert got[k].n_files == len(files)
+        assert got[k].first_doc == min(files)
+    # the synthesis makes real collisions: every planted symbol is shared
+    assert all(r.n_files >= SYMBOL_MIN_FILES for r in got.values())
+    assert {k for k, _ in got} == {"func", "class"}
