@@ -117,6 +117,10 @@ HEADLINE = [
     "embedding_outliers",
     "range_split_points",
     "code_symbol_dups",
+    "kg_bgp_query",
+    "kg_ntriples",
+    "zorder_layout",
+    "code_call_graph",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -7453,3 +7453,278 @@ SQL_CODE_SYMBOL_DUPS = f"""
 
 QUERIES["code_symbol_dups"] = q_code_symbol_dups
 ORACLES["code_symbol_dups"] = SQL_CODE_SYMBOL_DUPS
+
+
+# --------------------------------------- SPARQL-style BGP query (oracled)
+# The consumption side of KG construction: a conjunctive triple-pattern
+# query (SPARQL's basic graph pattern) evaluated over the materialized
+# triples by operators/bgp.py — each pattern compiles to a filtered
+# projection of the triple scan, join order is chosen by MEASURED pattern
+# cardinality (pattern-count planning; one scalar action per pattern),
+# and every join key is a shared variable, so this star-shaped BGP (all
+# patterns anchored on ?d) is co-partitioned equi-joins on the subject.
+# The anchor pattern has a CONSTANT object ('spark'), so the most
+# selective input leads the left-deep join. Output is the bounded
+# (operator, entity) co-mention contingency table, not the binding set.
+
+BGP_PATTERNS = [
+    ("?d", "mentions_System", "spark"),
+    ("?d", "mentions_Operator", "?op"),
+    ("?d", "mentions_Entity", "?e"),
+]
+
+
+def q_kg_bgp_query(spark, sf_dir):
+    from .operators.bgp import bgp_match
+
+    # one materialization of the triple table: the planner's per-pattern
+    # counts and the three pattern scans all read it instead of
+    # re-deriving the extraction subtree (kg_pagerank's lineage-cut idiom)
+    t = q_triples_kg(spark, sf_dir).localCheckpoint()
+    b = bgp_match(t, BGP_PATTERNS)  # distinct bindings (d, op, e)
+    return b.groupBy("op", "e").agg(F.count("*").alias("n_docs"))
+
+
+SQL_KG_BGP_QUERY = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  p1 AS (SELECT subj AS d FROM triples
+         WHERE pred = 'mentions_System' AND obj = 'spark'),
+  p2 AS (SELECT subj AS d, obj AS op FROM triples
+         WHERE pred = 'mentions_Operator'),
+  p3 AS (SELECT subj AS d, obj AS e FROM triples
+         WHERE pred = 'mentions_Entity'),
+  b AS (SELECT DISTINCT p1.d, op, e
+        FROM p1 JOIN p2 ON p1.d = p2.d JOIN p3 ON p1.d = p3.d)
+  SELECT op, e, count(*) AS n_docs FROM b GROUP BY op, e
+"""
+
+QUERIES["kg_bgp_query"] = q_kg_bgp_query
+ORACLES["kg_bgp_query"] = SQL_KG_BGP_QUERY
+
+
+# ------------------------------------------- N-Triples export (oracled)
+# The interchange sink: the materialized KG serialized as W3C N-Triples
+# lines (subjects/predicates as IRIs, objects as literals with the
+# spec's backslash/quote escaping — RDF 1.1 N-Triples §2.3, public
+# spec). Map-only over the triple table (string concat + two literal
+# replaces inside codegen, ZERO extra exchanges); at 10^12 triples this
+# is the shape an exporter must have — any per-line Python or global
+# sort would dominate the job. A planted quote+backslash object
+# exercises the escaping on both engines.
+
+def q_kg_ntriples(spark, sf_dir):
+    t = q_triples_kg(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            [("doc_x", "mentions_System", 'sp"ar\\k')],
+            ["subj", "pred", "obj"],
+        )
+    )
+    esc = F.replace(
+        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'), F.lit('\\"'),
+    )
+    return t.select(
+        "subj", "pred",
+        F.concat(
+            F.lit("<urn:kg:"), F.col("subj"), F.lit("> <urn:kg:"),
+            F.col("pred"), F.lit('> "'), esc, F.lit('" .'),
+        ).alias("ntriple"),
+    )
+
+
+SQL_KG_NTRIPLES = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface
+              UNION ALL
+              SELECT 'doc_x', 'mentions_System', 'sp"ar\\k')
+  SELECT subj, pred,
+         '<urn:kg:' || subj || '> <urn:kg:' || pred || '> "' ||
+         replace(replace(obj, '\\', '\\\\'), '"', '\\"') || '" .' AS ntriple
+  FROM triples
+"""
+
+QUERIES["kg_ntriples"] = q_kg_ntriples
+ORACLES["kg_ntriples"] = SQL_KG_NTRIPLES
+
+
+# ------------------------------------------- Z-order layout (oracled)
+# Multi-dimensional file clustering for the triple/fact sink — the
+# Iceberg/Delta OPTIMIZE ZORDER step: two skewed dimensions are bucketed
+# to ZBITS-bit grid cells (global min/max ride as a 1-row broadcast, the
+# same constant-cost planning action range_split_points uses), the cell
+# coordinates are bit-interleaved into a Z-value with UNROLLED
+# arithmetic (portable across engines — no engine bit intrinsics), and
+# rows land in ZFILES z-contiguous files. The report is each file's
+# per-dimension min/max envelope — exactly the column stats a scan
+# planner prunes on; the pytest proves the z-layout's envelopes prune a
+# 2-D box query strictly better than a single-column sort layout.
+# Plan: one min/max agg + map-only z computation + one keyed agg.
+
+ZBITS = 4
+ZFILES = 64
+
+
+def _zbit(col: str, i: int) -> str:
+    return f"(CASE WHEN ({col} % {2 ** (i + 1)}) >= {2 ** i} THEN 1 ELSE 0 END)"
+
+
+_Z_EXPR = " + ".join(
+    [f"{_zbit('px', i)} * {2 ** (2 * i)}" for i in range(ZBITS)]
+    + [f"{_zbit('sx', i)} * {2 ** (2 * i + 1)}" for i in range(ZBITS)]
+)
+
+
+def q_zorder_layout(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    mm = li.agg(
+        F.min("l_orderkey").alias("mino"), F.max("l_orderkey").alias("maxo"),
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+    )
+    cells = li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey", "l_partkey",
+        F.floor(
+            (F.col("l_orderkey") - F.col("mino")) * F.lit(float(2 ** ZBITS))
+            / (F.col("maxo") - F.col("mino") + 1)
+        ).cast("bigint").alias("px"),
+        F.floor(
+            (F.col("l_partkey") - F.col("minp")) * F.lit(float(2 ** ZBITS))
+            / (F.col("maxp") - F.col("minp") + 1)
+        ).cast("bigint").alias("sx"),
+    )
+    zed = cells.withColumn("z", F.expr(_Z_EXPR)).withColumn(
+        "zfile",
+        F.floor(F.col("z") * F.lit(float(ZFILES)) / F.lit(float(4 ** ZBITS)))
+        .cast("int"),
+    )
+    return zed.groupBy("zfile").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_ok"), F.max("l_orderkey").alias("max_ok"),
+        F.min("l_partkey").alias("min_pk"), F.max("l_partkey").alias("max_pk"),
+    )
+
+
+SQL_ZORDER_LAYOUT = f"""
+  WITH mm AS (SELECT min(l_orderkey) AS mino, max(l_orderkey) AS maxo,
+                     min(l_partkey) AS minp, max(l_partkey) AS maxp
+              FROM lineitem),
+  cells AS (SELECT l_orderkey, l_partkey,
+                   CAST(floor((l_orderkey - mino) * {float(2 ** ZBITS)}
+                              / (maxo - mino + 1)) AS BIGINT) AS px,
+                   CAST(floor((l_partkey - minp) * {float(2 ** ZBITS)}
+                              / (maxp - minp + 1)) AS BIGINT) AS sx
+            FROM lineitem CROSS JOIN mm),
+  zed AS (SELECT l_orderkey, l_partkey,
+                 CAST(floor(({_Z_EXPR}) * {float(ZFILES)}
+                            / {float(4 ** ZBITS)}) AS INT) AS zfile
+          FROM cells)
+  SELECT zfile, count(*) AS n_rows,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+  FROM zed GROUP BY zfile
+"""
+
+QUERIES["zorder_layout"] = q_zorder_layout
+ORACLES["zorder_layout"] = SQL_ZORDER_LAYOUT
+
+
+# --------------------------------------------- code call graph (oracled)
+# Symbol-resolution over the code corpus: call sites are extracted in the
+# same scan projection as code_symbol_dups' definitions, then resolved
+# against the definition table BY AGGREGATE — the report is per-symbol
+# (callers, call sites, definition files, canonical definition), never
+# the caller x definition edge cross-product a naive resolve join
+# materializes (a boilerplate symbol with 10^6 callers and 10^3
+# definition files would explode to 10^9 edges; here it is two count
+# states and a min). Canonical definition = min doc_id, so a bounded
+# caller -> canonical-def edge set is recoverable when needed.
+# Unresolved externals (no definition anywhere) are kept with
+# n_def_files = 0 — the import-boundary signal. Synthesis plants defs in
+# doc_id%3==0 files (util_{id%20}) and call sites in doc_id%3==2 files
+# (util_{id%25}), so symbols 20-24 exercise the unresolved branch.
+
+CALL_SITE_PAT = r"call ([a-z_][a-z0-9_]*)\(\)"
+
+
+def q_code_call_graph(spark, sf_dir):
+    mod = (F.col("doc_id") % 3).cast("int")
+    planted = (
+        F.when(mod == 0, F.concat(F.lit("def util_"),
+                                  (F.col("doc_id") % 20).cast("string"),
+                                  F.lit("(): pass")))
+        .when(mod == 2, F.concat(F.lit("call util_"),
+                                 (F.col("doc_id") % 25).cast("string"),
+                                 F.lit("()")))
+        .otherwise(F.lit(""))
+    )
+    files = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), planted).alias("content")
+    )
+    defs = (
+        files.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("content"), F.lit(SYMBOL_DEF_PAT), 1)
+            ).alias("symbol"),
+        )
+        .distinct()
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n_def_files"),
+             F.min("doc_id").alias("canonical_def"))
+    )
+    calls = files.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("content"), F.lit(CALL_SITE_PAT), 1)
+        ).alias("symbol"),
+    )
+    call_agg = calls.groupBy("symbol").agg(
+        F.count("*").alias("n_call_sites"),
+        F.countDistinct("doc_id").alias("n_callers"),
+        F.min("doc_id").alias("first_caller"),
+    )
+    return call_agg.join(defs, "symbol", "left").select(
+        "symbol", "n_call_sites", "n_callers", "first_caller",
+        F.coalesce("n_def_files", F.lit(0)).alias("n_def_files"),
+        F.coalesce("canonical_def", F.lit(-1)).alias("canonical_def"),
+    )
+
+
+SQL_CODE_CALL_GRAPH = f"""
+  WITH files AS (
+    SELECT doc_id, text || ' ' ||
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'def util_' || CAST(doc_id % 20 AS VARCHAR) || '(): pass'
+        WHEN 2 THEN 'call util_' || CAST(doc_id % 25 AS VARCHAR) || '()'
+        ELSE '' END AS content
+    FROM documents),
+  defs AS (
+    SELECT symbol, count(*) AS n_def_files, min(doc_id) AS canonical_def
+    FROM (SELECT DISTINCT doc_id, unnest(
+            regexp_extract_all(content, 'def ([a-z_][a-z0-9_]*)\\(', 1)) AS symbol
+          FROM files)
+    GROUP BY symbol),
+  calls AS (
+    SELECT doc_id, unnest(
+        regexp_extract_all(content, 'call ([a-z_][a-z0-9_]*)\\(\\)', 1)) AS symbol
+    FROM files),
+  call_agg AS (
+    SELECT symbol, count(*) AS n_call_sites,
+           count(DISTINCT doc_id) AS n_callers, min(doc_id) AS first_caller
+    FROM calls GROUP BY symbol)
+  SELECT c.symbol, c.n_call_sites, c.n_callers, c.first_caller,
+         coalesce(d.n_def_files, 0) AS n_def_files,
+         coalesce(d.canonical_def, -1) AS canonical_def
+  FROM call_agg c LEFT JOIN defs d ON c.symbol = d.symbol
+"""
+
+QUERIES["code_call_graph"] = q_code_call_graph
+ORACLES["code_call_graph"] = SQL_CODE_CALL_GRAPH
