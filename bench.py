@@ -121,6 +121,8 @@ HEADLINE = [
     "kg_ntriples",
     "zorder_layout",
     "code_call_graph",
+    "kg_bgp_optional",
+    "events_sliding_window",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -70,12 +70,20 @@ def compile_pattern(triples: DataFrame, pattern) -> DataFrame:
     return out
 
 
-def bgp_match(triples: DataFrame, patterns, distinct: bool = True) -> DataFrame:
+def bgp_match(triples: DataFrame, patterns, distinct: bool = True,
+              optional=None, filters=None) -> DataFrame:
     """Evaluate a conjunctive BGP; returns one row per variable binding.
 
     patterns: iterable of (s, p, o) strings; '?name' marks a variable.
     Join order = ascending measured cardinality with the connectivity
     constraint (next pattern must share >= 1 variable with the prefix).
+
+    optional: patterns LEFT-joined after the required ones (SPARQL
+    OPTIONAL) — unmatched bindings keep their required columns with the
+    optional variables null; each must share >= 1 bound variable.
+    filters: SQL boolean expression strings over the binding columns
+    (SPARQL FILTER), applied before the final distinct — written in
+    portable SQL they run verbatim on an oracle engine too.
     """
     pats = [tuple(p) for p in patterns]
     if not pats:
@@ -103,4 +111,16 @@ def bgp_match(triples: DataFrame, patterns, distinct: bool = True) -> DataFrame:
         keys = sorted(bound & {t[1:] for t in p if _is_var(t)})
         acc = acc.join(df, keys)
         bound |= {t[1:] for t in p if _is_var(t)}
+    for p in (optional or []):
+        p = tuple(p)
+        df = compile_pattern(triples, p)
+        keys = sorted(bound & {t[1:] for t in p if _is_var(t)})
+        if not keys:
+            raise ValueError(
+                f"OPTIONAL pattern shares no variable with the required "
+                f"BGP (bound={sorted(bound)})")
+        acc = acc.join(df, keys, "left")
+        bound |= {t[1:] for t in p if _is_var(t)}
+    for f in (filters or []):
+        acc = acc.filter(F.expr(f))
     return acc.distinct() if distinct else acc

@@ -7728,3 +7728,121 @@ SQL_CODE_CALL_GRAPH = f"""
 
 QUERIES["code_call_graph"] = q_code_call_graph
 ORACLES["code_call_graph"] = SQL_CODE_CALL_GRAPH
+
+
+# ------------------------- BGP with OPTIONAL + FILTER (oracled)
+# SPARQL's next two algebra operators over the same BGP compiler:
+# OPTIONAL is a left join that keeps bindings whose optional pattern
+# found nothing (variables null), FILTER is a portable SQL predicate
+# over the binding columns — the exact text runs on both engines. The
+# report answers a real curation question of the extracted KG: per
+# operator mention, how many documents carry it at all vs. WITHOUT any
+# entity co-mention (the missing-context signal slot-filling needs
+# evidence for). Left join rides the shared ?d key; aggregation is
+# per-op (vocabulary-bounded output).
+
+BGP_OPT_FILTER = "op <> 'merge'"
+
+
+def q_kg_bgp_optional(spark, sf_dir):
+    from .operators.bgp import bgp_match
+
+    t = q_triples_kg(spark, sf_dir).localCheckpoint()
+    b = bgp_match(
+        t,
+        [("?d", "mentions_Operator", "?op")],
+        optional=[("?d", "mentions_Entity", "?e")],
+        filters=[BGP_OPT_FILTER],
+    )
+    return b.groupBy("op").agg(
+        F.countDistinct("d").alias("n_docs"),
+        F.countDistinct(F.when(F.col("e").isNull(), F.col("d"))).alias(
+            "n_docs_no_entity"
+        ),
+        F.count("e").alias("n_entity_bindings"),
+    )
+
+
+SQL_KG_BGP_OPTIONAL = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  p1 AS (SELECT subj AS d, obj AS op FROM triples
+         WHERE pred = 'mentions_Operator'),
+  p2 AS (SELECT subj AS d, obj AS e FROM triples
+         WHERE pred = 'mentions_Entity'),
+  b AS (SELECT DISTINCT p1.d, op, e
+        FROM p1 LEFT JOIN p2 ON p1.d = p2.d
+        WHERE {BGP_OPT_FILTER})
+  SELECT op, count(DISTINCT d) AS n_docs,
+         count(DISTINCT CASE WHEN e IS NULL THEN d END) AS n_docs_no_entity,
+         count(e) AS n_entity_bindings
+  FROM b GROUP BY op
+"""
+
+QUERIES["kg_bgp_optional"] = q_kg_bgp_optional
+ORACLES["kg_bgp_optional"] = SQL_KG_BGP_OPTIONAL
+
+
+# --------------------------------- sliding-window aggregation (oracled)
+# The batch twin of Structured Streaming's sliding window: every event
+# lands in WINDOW_DUR/WINDOW_SLIDE overlapping windows (here 2), window
+# starts computed with epoch-integer arithmetic so Spark's window() and
+# any oracle engine agree bit-for-bit regardless of session timezone.
+# Plan: one map-only 2x expand (a literal-array explode, NOT a join
+# against a calendar table) + one (window, event_type)-keyed
+# aggregation — the shuffle carries window-count x type-count rows per
+# partition no matter the corpus size. The streaming module's windowed
+# aggregation (streaming/windowed.py pattern) shares this exact window
+# recipe; value sums are fixed to integer cents before summing so the
+# per-window totals are order-independent.
+
+WINDOW_DUR_S = 3600
+WINDOW_SLIDE_S = 1800
+
+
+def q_events_sliding_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"), "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    nwin = WINDOW_DUR_S // WINDOW_SLIDE_S
+    expanded = ev.select(
+        "event_type", "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(nwin)])).alias("k"),
+        (F.floor(F.col("es") / F.lit(WINDOW_SLIDE_S)).cast("bigint")).alias("slot"),
+        "es",
+    ).select(
+        "event_type", "cents", "es",
+        ((F.col("slot") - F.col("k")) * F.lit(WINDOW_SLIDE_S)).alias("w_start"),
+    ).filter(
+        (F.col("es") >= F.col("w_start"))
+        & (F.col("es") < F.col("w_start") + F.lit(WINDOW_DUR_S))
+    )
+    return expanded.groupBy("w_start", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+  WITH ev AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+  expanded AS (
+    SELECT event_type, cents, es,
+           (CAST(floor(es / {WINDOW_SLIDE_S}) AS BIGINT) - k) * {WINDOW_SLIDE_S}
+             AS w_start
+    FROM ev CROSS JOIN unnest(range(0, {WINDOW_DUR_S // WINDOW_SLIDE_S})) AS t(k)
+    )
+  SELECT w_start, event_type, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM expanded
+  WHERE es >= w_start AND es < w_start + {WINDOW_DUR_S}
+  GROUP BY w_start, event_type
+"""
+
+QUERIES["events_sliding_window"] = q_events_sliding_window
+ORACLES["events_sliding_window"] = SQL_EVENTS_SLIDING_WINDOW

@@ -16,9 +16,13 @@ from obiemachinelearningframework_spark.queries import (
     BGP_PATTERNS,
     CALL_SITE_PAT,
     SYMBOL_DEF_PAT,
+    WINDOW_DUR_S,
+    WINDOW_SLIDE_S,
     ZBITS,
     ZFILES,
     q_code_call_graph,
+    q_events_sliding_window,
+    q_kg_bgp_optional,
     q_kg_bgp_query,
     q_kg_ntriples,
     q_triples_kg,
@@ -96,6 +100,62 @@ def test_bgp_disconnected_rejected(spark):
     t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
     with pytest.raises(ValueError, match="disconnected"):
         bgp_match(t, [("?x", "p", "?y"), ("?u", "p", "?v")])
+
+
+def test_bgp_optional_and_filter(spark, triples):
+    """OPTIONAL keeps unmatched required bindings with null optional
+    vars (SPARQL left-join semantics); FILTER prunes bindings."""
+    got = {
+        r.op: (r.n_docs, r.n_docs_no_entity, r.n_entity_bindings)
+        for r in q_kg_bgp_optional(spark, SF_DIR).collect()
+    }
+    ops = defaultdict(set)
+    ents = defaultdict(set)
+    for s, p, o in triples:
+        if p == "mentions_Operator":
+            ops[o].add(s)
+        elif p == "mentions_Entity":
+            ents[s].add(o)
+    exp = {}
+    for op, docs in ops.items():
+        if op == "merge":  # FILTER
+            continue
+        no_ent = {d for d in docs if not ents.get(d)}
+        n_bind = sum(len(ents.get(d, ())) for d in docs)
+        exp[op] = (len(docs), len(no_ent), n_bind)
+    assert got == exp
+    # the OPTIONAL actually exercises both branches on this corpus
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
+    assert "merge" not in got
+
+
+def test_bgp_optional_must_share_variable(spark):
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(t, [("?x", "p", "?y")], optional=[("?u", "p", "?v")])
+
+
+def test_sliding_window_matches_python(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        (r.w_start, r.event_type): (r.n, r.sum_cents)
+        for r in q_events_sliding_window(spark, SF_DIR).collect()
+    }
+    exp = defaultdict(lambda: [0, 0])
+    nwin = WINDOW_DUR_S // WINDOW_SLIDE_S
+    for ts, et, val in zip(ev.ts, ev.event_type, ev.value):
+        es = int(ts.timestamp())
+        cents = int(round(val * 100))
+        slot = es // WINDOW_SLIDE_S
+        for k in range(nwin):
+            ws = (slot - k) * WINDOW_SLIDE_S
+            if ws <= es < ws + WINDOW_DUR_S:
+                exp[(ws, et)][0] += 1
+                exp[(ws, et)][1] += cents
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # every event appears in exactly nwin windows
+    assert sum(n for n, _ in got.values()) == len(ev) * nwin
 
 
 def test_ntriples_lines_and_escaping(spark):
