@@ -123,6 +123,7 @@ HEADLINE = [
     "code_call_graph",
     "kg_bgp_optional",
     "events_sliding_window",
+    "embedding_gram",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

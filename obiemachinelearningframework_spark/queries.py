@@ -7846,3 +7846,45 @@ SQL_EVENTS_SLIDING_WINDOW = f"""
 
 QUERIES["events_sliding_window"] = q_events_sliding_window
 ORACLES["events_sliding_window"] = SQL_EVENTS_SLIDING_WINDOW
+
+
+# ------------------------------------ exact Gram matrix (oracled)
+# The covariance-level embedding diagnostic and the input to
+# distributed PCA (operators/pca.py): G = sum_r x_r x_r^T folded
+# per-partition into ONE d x d integer accumulator (a numpy matmul per
+# Arrow batch), so the shuffle carries O(partitions * d^2) rows no
+# matter the corpus size — the d^2-per-ROW explode the oracle runs is
+# exactly the plan this kernel exists to avoid. Values fixed to integer
+# micros, partials summed as decimal(38,0): entries are bit-identical
+# across engines and partitionings (the embedding_dim_stats exactness
+# recipe lifted to second moments). The driver-side eigendecomposition
+# of the d x d result (PCA) is a constant-cost planning step pinned in
+# tests/test_pca.py.
+
+def q_embedding_gram(spark, sf_dir):
+    from .operators.pca import gram_micro
+
+    g = gram_micro(_emb(spark, sf_dir))
+    return g.select(
+        "i", "j",
+        F.round(F.col("g").cast("double") / F.lit(1e12), 6).alias("gram"),
+    )
+
+
+SQL_EMBEDDING_GRAM = """
+  WITH x AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+  )
+  SELECT a.dim AS i, b.dim AS j,
+         round(CAST(CAST(sum(a.m * b.m) AS DECIMAL(38,0)) AS DOUBLE)
+               / 1e12, 6) AS gram
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+  GROUP BY a.dim, b.dim
+"""
+
+QUERIES["embedding_gram"] = q_embedding_gram
+ORACLES["embedding_gram"] = SQL_EMBEDDING_GRAM

@@ -1,0 +1,94 @@
+"""Distributed Gram/PCA operator (operators/pca.py) — exactness,
+partition invariance, and parity of the driver-side eigen step against
+a straight numpy PCA on the collected data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from obiemachinelearningframework_spark.operators.pca import (
+    MICRO,
+    gram_micro,
+    gram_to_matrix,
+    pca_from_gram,
+    project,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+D = 64
+
+
+@pytest.fixture(scope="module")
+def emb_pd():
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    return np.stack([np.asarray(a, dtype=np.float64) for a in df.embedding])
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _np_gram_micro(m):
+    mi = np.rint(m * MICRO).astype(np.int64)
+    return mi.T @ mi
+
+
+def test_gram_exact_vs_numpy(spark, emb_df, emb_pd):
+    rows = gram_micro(emb_df).collect()
+    assert len(rows) == D * (D + 1) // 2
+    exp = _np_gram_micro(emb_pd)
+    for r in rows:
+        assert int(r["g"]) == exp[r["i"], r["j"]], (r["i"], r["j"])
+
+
+def test_gram_partition_invariant(spark, emb_df):
+    """The exactness contract: identical results regardless of how rows
+    are split across partitions (what makes checkpoints stable)."""
+    a = {(r["i"], r["j"]): int(r["g"])
+         for r in gram_micro(emb_df.repartition(1)).collect()}
+    b = {(r["i"], r["j"]): int(r["g"])
+         for r in gram_micro(emb_df.repartition(7)).collect()}
+    assert a == b
+
+
+def test_pca_matches_numpy(spark, emb_df, emb_pd):
+    k = 8
+    n = len(emb_pd)
+    mean = emb_pd.mean(axis=0)
+    g = gram_to_matrix(gram_micro(emb_df).collect(), D)
+    comps, evals, total = pca_from_gram(g, n, mean, k)
+    # numpy reference PCA on the raw (un-quantized) data
+    c = emb_pd - mean
+    ref_evals, ref_vecs = np.linalg.eigh((c.T @ c) / n)
+    order = np.argsort(ref_evals)[::-1][:k]
+    ref_evals = ref_evals[order]
+    ref_vecs = ref_vecs[:, order].T
+    # micro-quantization perturbs the covariance by O(1e-6)
+    assert np.allclose(evals, ref_evals, atol=1e-4)
+    for got, ref in zip(comps, ref_vecs):
+        assert abs(float(np.dot(got, ref))) > 0.999
+    assert total == pytest.approx(float(np.trace((c.T @ c) / n)), rel=1e-3)
+
+
+def test_projection_variance_and_reconstruction(spark, emb_df, emb_pd):
+    n = len(emb_pd)
+    mean = emb_pd.mean(axis=0)
+    g = gram_to_matrix(gram_micro(emb_df).collect(), D)
+    comps8, evals8, _ = pca_from_gram(g, n, mean, 8)
+    out = project(emb_df, comps8, mean).orderBy("vec_id").collect()
+    assert len(out) == n
+    p = np.stack([np.asarray(r["pc"]) for r in out])
+    # per-component variance of the projections == the eigenvalues
+    assert np.allclose(p.var(axis=0), evals8, atol=1e-4)
+    # components are orthonormal
+    assert np.allclose(comps8 @ comps8.T, np.eye(8), atol=1e-9)
+    # reconstruction error shrinks as k grows
+    c = emb_pd - mean
+    def recon_err(k):
+        comps, _, _ = pca_from_gram(g, n, mean, k)
+        proj = c @ comps.T
+        return float(((c - proj @ comps) ** 2).sum())
+    assert recon_err(8) < recon_err(2) < recon_err(1)
+    # schema: non-vector columns survive the projection
+    assert {"vec_id", "label", "pc"} == set(out[0].asDict().keys())
