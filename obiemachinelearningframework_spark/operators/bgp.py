@@ -10,10 +10,11 @@ module compiles such a pattern list into a left-deep DataFrame join:
 * each pattern becomes one filtered projection of the triple table
   (constants -> pushed-down equality filters, variables -> renamed
   columns), so Catalyst sees plain scans + filters it can prune;
-* join order is chosen by *measured* pattern selectivity (one count()
-  per pattern — pattern-count planning, the classic SPARQL heuristic;
-  the counts are aggregate actions over the shared triple scan, a
-  constant-cost planning step independent of corpus size);
+* join order is chosen by *measured* pattern selectivity
+  (pattern-count planning, the classic SPARQL heuristic) — ALL pattern
+  counts come from ONE conditional-sum aggregation over a single triple
+  scan, so planning costs one linear job regardless of how many
+  patterns the BGP has;
 * every join key is a shared variable, so a star-shaped BGP (all
   patterns sharing ?d) compiles to co-partitioned equi-joins on the
   subject key — the same shuffle the triple sink already bucketed for.
@@ -89,9 +90,24 @@ def bgp_match(triples: DataFrame, patterns, distinct: bool = True,
     if not pats:
         raise ValueError("empty BGP")
     compiled = [(p, compile_pattern(triples, p)) for p in pats]
-    # pattern-count planning: one scalar action per pattern
+    # pattern-count planning in ONE pass: every pattern's constant
+    # condition becomes a conditional-sum over the same triple scan, so
+    # planning costs one linear job total — not one scan per pattern
+    # (the difference between P and 1 full-table reads at 10^12 triples)
+    conds = []
+    for p in pats:
+        c = F.lit(True)
+        for term, col in zip(p, ("subj", "pred", "obj")):
+            if not _is_var(term):
+                c = c & (F.col(col) == F.lit(term))
+        conds.append(c)
+    counts = triples.agg(
+        *[F.sum(F.when(c, 1).otherwise(0)).alias(f"c{i}")
+          for i, c in enumerate(conds)]
+    ).first()
     sized = sorted(
-        ((df.count(), i, p, df) for i, (p, df) in enumerate(compiled)),
+        ((int(counts[f"c{i}"] or 0), i, p, df)
+         for i, (p, df) in enumerate(compiled)),
         key=lambda t: (t[0], t[1]),
     )
     remaining = list(sized)
