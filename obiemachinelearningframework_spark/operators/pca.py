@@ -39,7 +39,11 @@ def gram_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Returns (i int, j int, g decimal(38,0)) with
     g = sum_rows round(v_i * 1e6) * round(v_j * 1e6).
     """
-    d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty input (e.g. a replayed empty micro-batch)
+        return df.sparkSession.createDataFrame(
+            [], "i int, j int, g decimal(38,0)")
+    d = first["d"]
 
     def part(batches):
         import pandas as pd

@@ -92,3 +92,44 @@ def test_projection_variance_and_reconstruction(spark, emb_df, emb_pd):
     assert recon_err(8) < recon_err(2) < recon_err(1)
     # schema: non-vector columns survive the projection
     assert {"vec_id", "label", "pc"} == set(out[0].asDict().keys())
+
+
+def test_pca_ann_recall_on_low_rank_data(spark):
+    """The retrieval-safety gauge for PCA as an ANN reduction (the
+    ann_sq_recall story for the linear projection): on data with
+    low-rank cluster structure, brute-force top-5 in the PCA-8 space
+    recovers >= 0.8 of the exact-cosine neighbors. (On isotropic data
+    PCA compression rightfully destroys neighborhoods — the fixture
+    embeddings measure ~0.23 at k=16 — which is exactly why the gauge
+    must be MEASURED per-corpus before swapping the index input.)"""
+    rng = np.random.RandomState(11)
+    # data living in a true 8-dim subspace of R^64 (clusters + noise in
+    # the subspace, tiny full-dim jitter) — the regime the reduction is
+    # FOR; full-rank noise (the fixture) is the regime it is not
+    basis, _ = np.linalg.qr(rng.randn(D, 8))
+    centers8 = rng.randn(5, 8) * 2.0
+    rows = []
+    for i in range(400):
+        z = centers8[i % 5] + rng.randn(8) * 0.3
+        x = z @ basis.T + rng.randn(D) * 0.002
+        rows.append((i, [float(v) for v in x], int(i % 5)))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    m = np.stack([np.asarray(v, np.float64) for _, v, _ in rows])
+    n, mean = len(m), m.mean(axis=0)
+    g = gram_to_matrix(gram_micro(df).collect(), D)
+    comps, _, _ = pca_from_gram(g, n, mean, 8)
+    p = np.stack([
+        np.asarray(r["pc"])
+        for r in project(df, comps, mean).orderBy("vec_id").collect()
+    ])
+
+    def top5(mat, q):
+        sims = mat @ mat[q] / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[q]) + 1e-12)
+        sims[q] = -2
+        return set(np.argsort(-sims)[:5])
+
+    c = m - mean
+    hits = sum(len(top5(c, q) & top5(p, q)) for q in range(100))
+    assert hits / 500 >= 0.8
