@@ -124,6 +124,7 @@ HEADLINE = [
     "kg_bgp_optional",
     "events_sliding_window",
     "embedding_gram",
+    "kg_time_travel",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

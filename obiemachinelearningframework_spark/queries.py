@@ -7888,3 +7888,39 @@ SQL_EMBEDDING_GRAM = """
 
 QUERIES["embedding_gram"] = q_embedding_gram
 ORACLES["embedding_gram"] = SQL_EMBEDDING_GRAM
+
+
+# ------------------------------------------- KG time travel (oracled)
+# The read side of SCD2 temporal maintenance: reconstruct the KG AS OF
+# snapshot TIME_TRAVEL_T purely from the validity intervals
+# (valid_from <= T <= valid_to — a map-only filter over the
+# interval table, which is a fraction of the full history). The oracle
+# is the DIRECT extraction at snapshot T, so the green correctness row
+# PROVES the history-reconstruction invariant
+#     scd2_intervals(T) == extract(corpus_at_T)
+# — the same self-proving oracle trick as kg_snapshot_apply. At scale
+# this is the Iceberg time-travel read: answered from interval metadata
+# without re-running extraction over a historical corpus.
+
+TIME_TRAVEL_T = 2
+
+
+def q_kg_time_travel(spark, sf_dir):
+    iv = q_kg_scd2(spark, sf_dir)
+    return iv.filter(
+        (F.col("valid_from") <= TIME_TRAVEL_T)
+        & (F.col("valid_to") >= TIME_TRAVEL_T)
+    ).select("subj", "pred", "obj")
+
+
+SQL_KG_TIME_TRAVEL = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL})
+  SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+         'mentions_' || type_id AS pred, token AS obj
+  FROM toks JOIN dict ON token = surface
+  WHERE (doc_id + {TIME_TRAVEL_T}) % 4 <> 0
+"""
+
+QUERIES["kg_time_travel"] = q_kg_time_travel
+ORACLES["kg_time_travel"] = SQL_KG_TIME_TRAVEL

@@ -89,6 +89,25 @@ def test_scd2_matches_python(spark):
     assert any(k[3] == 2 for k in want)
 
 
+def test_time_travel_reconstructs_every_snapshot(spark):
+    """The history-reconstruction invariant behind kg_time_travel, for
+    ALL snapshots (the registry row pins T=TIME_TRAVEL_T against the
+    direct extraction; this closes the loop for the rest): filtering the
+    SCD2 intervals at T yields exactly the triples present at T."""
+    from obiemachinelearningframework_spark.queries import q_kg_scd2
+
+    rows = q_mentions_dict(spark, SF_DIR).collect()
+    trip = {(r.doc_id, f"doc_{r.doc_id}", f"mentions_{r.type_id}", r.token)
+            for r in rows}
+    iv = q_kg_scd2(spark, SF_DIR).collect()
+    for t in range(1, SCD2_SNAPSHOTS + 1):
+        got = {(r.subj, r.pred, r.obj)
+               for r in iv if r.valid_from <= t <= r.valid_to}
+        want = {(subj, pred, obj)
+                for doc_id, subj, pred, obj in trip if (doc_id + t) % 4 != 0}
+        assert got == want, f"snapshot {t}"
+
+
 def test_neighbor_sample_matches_python(spark, sym_edges):
     import hashlib
 
