@@ -88,6 +88,63 @@ def test_bgp_registry_aggregate(spark, triples):
     assert got == dict(exp)
 
 
+_ENT = ["a", "b", "c", "d"]
+_PRD = ["p", "q"]
+
+
+def _graphs():
+    from hypothesis import strategies as st
+
+    triple = st.tuples(st.sampled_from(_ENT), st.sampled_from(_PRD),
+                       st.sampled_from(_ENT))
+    return st.sets(triple, min_size=1, max_size=12)
+
+
+def _bgps():
+    from hypothesis import strategies as st
+
+    term = st.sampled_from(["?x", "?y", "?z", "a", "b"])
+    ptrm = st.sampled_from(["?x", "?y", "p", "q"])
+    pat = st.tuples(term, ptrm, term)
+    return st.lists(pat, min_size=1, max_size=3)
+
+
+def test_bgp_property_matches_python(spark):
+    """Property: for ANY tiny graph and ANY 1-3-pattern BGP, the
+    compiled join plan agrees with the naive nested-loop evaluator
+    (connected BGPs only; disconnected ones must raise)."""
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(triples=_graphs(), pats=_bgps())
+    def check(triples, pats):
+        rows = sorted(triples)
+        t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        # connectivity of the variable-sharing graph decides the contract
+        var_sets = [{x[1:] for x in p if x.startswith("?")} for p in pats]
+        if not all(var_sets):
+            return  # all-constant patterns: existence semantics untested here
+        reach = set(var_sets[0])
+        grew = True
+        while grew:
+            grew = False
+            for vs in var_sets:
+                if vs & reach and not vs <= reach:
+                    reach |= vs
+                    grew = True
+        connected = all(vs & reach for vs in var_sets)
+        if not connected:
+            with pytest.raises(ValueError, match="disconnected"):
+                bgp_match(t, pats)
+            return
+        got = {tuple(sorted(r.asDict().items()))
+               for r in bgp_match(t, pats).collect()}
+        assert got == _py_bgp(rows, pats)
+
+    check()
+
+
 def test_bgp_duplicate_variable(spark):
     rows = [("a", "p", "a"), ("a", "p", "b"), ("b", "q", "b")]
     t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
