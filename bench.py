@@ -125,6 +125,7 @@ HEADLINE = [
     "events_sliding_window",
     "embedding_gram",
     "kg_time_travel",
+    "kg_incremental_extract",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

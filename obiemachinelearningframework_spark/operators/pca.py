@@ -12,11 +12,12 @@ as a broadcast codebook).
 Exactness contract: values are fixed to integer micros (round(v * 1e6),
 half-up — binary floats never land on exact .5 micros, so every
 rounding convention agrees), products and partition partials ride
-int64 (bounded by rows_per_partition * 1e12 — safe to ~9e5 rows per
-partition at |v| <= 1), and the cross-partition reduce sums
-decimal(38,0), so the Gram entries are bit-identical across engines,
-partitionings, and cluster sizes — the property that makes the result
-oracle-checkable and a resumable pipeline's checkpoint stable.
+int64 — bounded by rows_per_partition * (max|v| * 1e6)^2, i.e. safe to
+~9.2e6 rows per partition at |v| <= 1 (size maxPartitionBytes
+accordingly for unnormalized embeddings) — and the cross-partition
+reduce sums decimal(38,0), so the Gram entries are bit-identical across
+engines, partitionings, and cluster sizes — the property that makes the
+result oracle-checkable and a resumable pipeline's checkpoint stable.
 
 Reference parity: the reference framework has no linear-algebra
 operators; this extends the embedding-analytics family

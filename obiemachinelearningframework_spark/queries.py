@@ -7924,3 +7924,84 @@ SQL_KG_TIME_TRAVEL = f"""
 
 QUERIES["kg_time_travel"] = q_kg_time_travel
 ORACLES["kg_time_travel"] = SQL_KG_TIME_TRAVEL
+
+
+# ------------------------------ incremental extraction (oracled)
+# Crawl-over-crawl KG maintenance: when a new corpus snapshot arrives,
+# re-run extraction ONLY over documents whose content hash changed (or
+# are new), carry the previous run's triples forward for unchanged
+# documents, and drop triples of deleted documents — the content-sha
+# change-data-capture loop a 10^12-file table lives by (re-extracting
+# everything per crawl is the single most expensive mistake at that
+# scale; typical crawls touch <1% of files). The synthetic "previous"
+# snapshot perturbs doc_id % 5 == 0 documents (planted extra token) and
+# contains one since-deleted document, so every CDC branch (changed /
+# unchanged / deleted) is exercised. The oracle is the DIRECT full
+# extraction of the new corpus, so the green row proves
+#     carry_forward(unchanged) UNION extract(changed) == extract(new)
+# — the third self-proving invariant row (with kg_snapshot_apply and
+# kg_time_travel). Plan: sha comparison is one doc_id-keyed join of two
+# map-only projections; the extraction subtree runs ONLY on the changed
+# slice (pinned by pytest); every shuffle is doc- or triple-keyed.
+
+def _inc_prev_docs(spark, sf_dir):
+    """The previous snapshot: %5==0 docs had different content (one
+    extra dictionary token), plus one document that no longer exists."""
+    prev = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when((F.col("doc_id") % 5) == 0,
+               F.concat(F.col("text"), F.lit(" spark")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    deleted = spark.createDataFrame(
+        [(-1, "spark table join scan")], ["doc_id", "text"])
+    return prev.unionByName(deleted)
+
+
+def _inc_extract(docs):
+    """The per-document extraction kernel of triples_kg over an
+    arbitrary (doc_id, text) slice."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    d = F.broadcast(toks.sparkSession.createDataFrame(
+        DICT, ["surface", "type_id"]))
+    return (
+        toks.join(d, toks.token == d.surface)
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("mentions_"), F.col("type_id")).alias("pred"),
+            F.col("token").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def q_kg_incremental_extract(spark, sf_dir):
+    new = _docs(spark, sf_dir).select("doc_id", "text")
+    prev = _inc_prev_docs(spark, sf_dir)
+    prev_triples = _inc_extract(prev)  # the committed previous KG
+    new_sha = new.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+    prev_sha = prev.select("doc_id", F.sha2(F.col("text"), 256).alias("psha"))
+    cdc = new_sha.join(prev_sha, "doc_id", "full")
+    changed_ids = cdc.filter(
+        F.col("psha").isNull() | (F.col("sha") != F.col("psha"))
+    ).filter(F.col("sha").isNotNull()).select("doc_id")
+    unchanged_ids = cdc.filter(F.col("sha") == F.col("psha")).select("doc_id")
+    re_extracted = _inc_extract(new.join(changed_ids, "doc_id", "left_semi"))
+    carried = prev_triples.join(unchanged_ids, "doc_id", "left_semi")
+    # deleted docs fall out: they are in neither changed nor unchanged
+    return carried.unionByName(re_extracted).select("subj", "pred", "obj")
+
+
+SQL_KG_INCREMENTAL_EXTRACT = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL})
+  SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+         'mentions_' || type_id AS pred, token AS obj
+  FROM toks JOIN dict ON token = surface
+"""
+
+QUERIES["kg_incremental_extract"] = q_kg_incremental_extract
+ORACLES["kg_incremental_extract"] = SQL_KG_INCREMENTAL_EXTRACT
