@@ -113,3 +113,59 @@ def test_submit_code_domain(spark, tmp_path):
     assert glob.glob(f"{out}/repo=*/lang=*")
     metrics = [json.loads(l) for l in open(f"{ck}/_metrics.jsonl")]
     assert any(m.get("n_triples", 0) > 0 for m in metrics)
+
+
+def test_submit_incremental_equals_full(spark, tmp_path):
+    """CDC mode: incremental(prev -> new) must produce EXACTLY the
+    triples of a full extract over the new snapshot, while re-running
+    the kernel only over the changed/new documents."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import build
+
+    build()
+
+    from obiemachinelearningframework_spark.fixtures import generate_corpus
+
+    c = generate_corpus("soccer", n_docs=40, seed=5)
+    src = c["source"]
+    prev = src.iloc[:38].copy()                       # 2 docs are new in B
+    new = src.copy()
+    perturbed = new.index % 5 == 0
+    new.loc[perturbed, "content"] = new.loc[perturbed, "content"] + " noise"
+    # one doc exists only in prev (deleted since)
+    extra = src.iloc[[0]].copy()
+    extra["path"] = "gone/deleted.txt"
+    prev = __import__("pandas").concat([prev, extra], ignore_index=True)
+
+    d = {k: str(tmp_path / k) for k in
+         ("prev_src", "new_src", "gold", "prev_out", "inc_out", "full_out", "ck")}
+    spark.createDataFrame(prev).write.parquet(d["prev_src"])
+    spark.createDataFrame(new).write.parquet(d["new_src"])
+    spark.createDataFrame(c["gold_triples"]).write.parquet(d["gold"])
+
+    weights = str(tmp_path / "weights.jsonl")
+    p = _submit("train", "--source", d["prev_src"], "--gold", d["gold"],
+                "--weights", weights)
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    p = _submit("extract", "--source", d["prev_src"], "--weights", weights,
+                "--output", d["prev_out"])
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    p = _submit("incremental", "--source", d["new_src"], "--weights", weights,
+                "--prev-source", d["prev_src"], "--prev-triples", d["prev_out"],
+                "--output", d["inc_out"])
+    assert p.returncode == 0, p.stderr[-3000:]
+    n_changed = int(perturbed.sum()) + 2   # perturbed + the 2 new docs
+    assert f"re-extracted {n_changed} changed docs" in p.stdout
+    assert "dropped 1 deleted" in p.stdout
+
+    p = _submit("extract", "--source", d["new_src"], "--weights", weights,
+                "--output", d["full_out"])
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    inc = {tuple(r) for r in spark.read.parquet(d["inc_out"])
+           .select("doc_key", "subj", "pred", "obj").collect()}
+    full = {tuple(r) for r in spark.read.parquet(d["full_out"])
+            .select("doc_key", "subj", "pred", "obj").collect()}
+    assert inc == full
