@@ -83,49 +83,10 @@ def main() -> None:
         print(f"trained: {len(pipe.weights)} weights -> {args.weights}")
         return
 
+    assert args.output, f"--output required for {args.mode}"
     if args.mode == "incremental":
-        # crawl-over-crawl CDC (the kg_incremental_extract loop on the
-        # production pipeline): re-run the fused kernel ONLY over
-        # documents whose (doc_key, sha256) pair is new or changed since
-        # the previous snapshot; carry the previous run's triples forward
-        # for unchanged documents; triples of deleted documents drop out.
-        # At 10^12 files a crawl touches a small fraction of the table —
-        # this turns the per-crawl cost from corpus-sized to delta-sized.
-        assert args.output and args.prev_source and args.prev_triples, (
-            "--output, --prev-source and --prev-triples required for incremental")
-        prev_sha = pipe.prepare(spark.read.parquet(args.prev_source)).select(
-            "doc_key", F.col("sha256").alias("psha"))
-        new_sha = inst.select("doc_key", "sha256")
-        cdc = new_sha.join(prev_sha, "doc_key", "full").cache()
-        changed = cdc.filter(
-            F.col("sha256").isNotNull()
-            & (F.col("psha").isNull() | (F.col("sha256") != F.col("psha")))
-        ).select("doc_key")
-        unchanged = cdc.filter(F.col("sha256") == F.col("psha")).select("doc_key")
-        n_changed, n_unchanged = changed.count(), unchanged.count()
-        n_deleted = cdc.filter(F.col("sha256").isNull()).count()
-
-        pipe.load_weights(args.weights)
-        re_extracted = pipe.predict_fused(
-            inst.join(changed, "doc_key", "left_semi").cache(),
-            carry_cols=("repo", "lang"),
-        )
-        cols = ["doc_key", "subj", "pred", "obj", "repo", "lang"]
-        carried = (
-            spark.read.parquet(args.prev_triples)
-            .select(*cols)
-            .join(unchanged, "doc_key", "left_semi")
-        )
-        write_triples(carried.unionByName(re_extracted.select(*cols)), args.output)
-        n_triples = spark.read.parquet(args.output).count()
-        print(
-            f"incremental: re-extracted {n_changed} changed docs, carried "
-            f"{n_unchanged} unchanged, dropped {n_deleted} deleted; "
-            f"{n_triples} triples -> {args.output}"
-        )
-        return
-
-    assert args.output, "--output required for extract"
+        assert args.prev_source and args.prev_triples, (
+            "--prev-source and --prev-triples required for incremental")
 
     def corpus_digest():
         """Order-insensitive digest of per-row sha256(content) over the
@@ -170,11 +131,51 @@ def main() -> None:
             return
     pipe.load_weights(args.weights)
     inst = inst.cache()
-    # (repo, lang) ride through the fused kernel onto every triple, so the
-    # partitioned+salted sink is a pure map->shuffle-on-write — no join (and
-    # especially no broadcast) against the corpus-sized instance table
-    triples = pipe.predict_fused(inst, carry_cols=("repo", "lang"))
-    write_triples(triples, args.output)
+
+    extra_metrics = {}
+    if args.mode == "incremental":
+        # crawl-over-crawl CDC (the kg_incremental_extract loop on the
+        # production pipeline): re-run the fused kernel ONLY over
+        # documents whose (doc_key, sha256) pair is new or changed since
+        # the previous snapshot; carry the previous run's triples forward
+        # for unchanged documents; triples of deleted documents drop out.
+        # At 10^12 files a crawl touches a small fraction of the table —
+        # this turns the per-crawl cost from corpus-sized to delta-sized.
+        prev_sha = pipe.prepare(spark.read.parquet(args.prev_source)).select(
+            "doc_key", F.col("sha256").alias("psha"))
+        new_sha = inst.select("doc_key", "sha256")
+        cdc = new_sha.join(prev_sha, "doc_key", "full").cache()
+        changed = cdc.filter(
+            F.col("sha256").isNotNull()
+            & (F.col("psha").isNull() | (F.col("sha256") != F.col("psha")))
+        ).select("doc_key")
+        unchanged = cdc.filter(F.col("sha256") == F.col("psha")).select("doc_key")
+        n_changed, n_unchanged = changed.count(), unchanged.count()
+        n_deleted = cdc.filter(F.col("sha256").isNull()).count()
+        re_extracted = pipe.predict_fused(
+            inst.join(changed, "doc_key", "left_semi").cache(),
+            carry_cols=("repo", "lang"),
+        )
+        cols = ["doc_key", "subj", "pred", "obj", "repo", "lang"]
+        carried = (
+            spark.read.parquet(args.prev_triples)
+            .select(*cols)
+            .join(unchanged, "doc_key", "left_semi")
+        )
+        write_triples(carried.unionByName(re_extracted.select(*cols)), args.output)
+        print(
+            f"incremental: re-extracted {n_changed} changed docs, carried "
+            f"{n_unchanged} unchanged, dropped {n_deleted} deleted"
+        )
+        extra_metrics = {"n_changed": n_changed, "n_unchanged": n_unchanged,
+                         "n_deleted": n_deleted}
+    else:
+        # (repo, lang) ride through the fused kernel onto every triple, so
+        # the partitioned+salted sink is a pure map->shuffle-on-write — no
+        # join (and especially no broadcast) against the corpus-sized
+        # instance table
+        triples = pipe.predict_fused(inst, carry_cols=("repo", "lang"))
+        write_triples(triples, args.output)
 
     # per-row invariant vs the source table (BASELINE.json): if the source
     # stores a sha256 column, every row must match the recomputed hash; the
@@ -194,9 +195,9 @@ def main() -> None:
         # os.replace as the stage — no crash window between "stage
         # committed" and "digest recorded" for the resume path to hit
         ck.write("triples", spark.read.parquet(args.output),
-                 meta={"mode": "extract", "content_digest": digest})
+                 meta={"mode": args.mode, "content_digest": digest})
         ck.log_metrics("triples", {"n_triples": n_triples, "sha256_mismatches": bad,
-                                   "content_digest": digest})
+                                   "content_digest": digest, **extra_metrics})
 
 
 if __name__ == "__main__":

@@ -154,11 +154,19 @@ def test_submit_incremental_equals_full(spark, tmp_path):
 
     p = _submit("incremental", "--source", d["new_src"], "--weights", weights,
                 "--prev-source", d["prev_src"], "--prev-triples", d["prev_out"],
-                "--output", d["inc_out"])
+                "--output", d["inc_out"], "--checkpoint-dir", d["ck"])
     assert p.returncode == 0, p.stderr[-3000:]
     n_changed = int(perturbed.sum()) + 2   # perturbed + the 2 new docs
     assert f"re-extracted {n_changed} changed docs" in p.stdout
     assert "dropped 1 deleted" in p.stdout
+
+    # incremental shares extract's manifest-gated idempotent resume: a
+    # re-run verifies the committed digest and does no CDC work
+    p = _submit("incremental", "--source", d["new_src"], "--weights", weights,
+                "--prev-source", d["prev_src"], "--prev-triples", d["prev_out"],
+                "--output", d["inc_out"], "--checkpoint-dir", d["ck"])
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "resume: triples stage already committed" in p.stdout
 
     p = _submit("extract", "--source", d["new_src"], "--weights", weights,
                 "--output", d["full_out"])
