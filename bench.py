@@ -126,6 +126,7 @@ HEADLINE = [
     "embedding_gram",
     "kg_time_travel",
     "kg_incremental_extract",
+    "collocations_llr",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

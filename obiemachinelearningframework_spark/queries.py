@@ -8005,3 +8005,83 @@ SQL_KG_INCREMENTAL_EXTRACT = f"""
 
 QUERIES["kg_incremental_extract"] = q_kg_incremental_extract
 ORACLES["kg_incremental_extract"] = SQL_KG_INCREMENTAL_EXTRACT
+
+
+# ------------------------------- collocation mining (oracled)
+# Dunning log-likelihood-ratio collocations (Dunning 1993 — the
+# statistically sound version of PMI for sparse counts): for each
+# adjacent bigram, G2 over the 2x2 contingency table of (w1?, w2?)
+# bigram outcomes. The dictionary-builder's phrase-discovery step (the
+# reference's surface forms are hand-listed; this is how they are mined
+# from a corpus at scale). Plan: bigrams derived array-side (zip_with,
+# no corpus window sort), ONE bigram-keyed count, marginals ROLLED UP
+# from the bigram counts (vocabulary-keyed, no second corpus pass), N as
+# a 1-row broadcast; every ln() lands behind a 6-dp round so JVM/DuckDB
+# libm ulp differences vanish.
+
+COLLOC_MIN_C12 = 3
+
+
+def q_collocations_llr(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("arr")
+    )
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with(arr, slice(arr, 2, size(arr)),"
+                " (a, b) -> IF(b IS NULL, NULL, struct(a AS w1, b AS w2))),"
+                " s -> s IS NOT NULL)"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n"))
+
+    def term(k, e):
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    j = (
+        c12.filter(F.col("c12") >= COLLOC_MIN_C12)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("c12").cast("double")
+    k12 = (F.col("c1") - F.col("c12")).cast("double")
+    k21 = (F.col("c2") - F.col("c12")).cast("double")
+    k22 = (F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")).cast("double")
+    nn = F.col("n").cast("double")
+    e11 = F.col("c1") * F.col("c2") / nn
+    e12 = F.col("c1") * (nn - F.col("c2")) / nn
+    e21 = (nn - F.col("c1")) * F.col("c2") / nn
+    e22 = (nn - F.col("c1")) * (nn - F.col("c2")) / nn
+    g2 = 2.0 * (term(k11, e11) + term(k12, e12) + term(k21, e21) + term(k22, e22))
+    return j.select("w1", "w2", "c12", F.round(g2, 6).alias("llr"))
+
+
+SQL_COLLOCATIONS_LLR = f"""
+  WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS arr
+                FROM documents),
+  big AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+          FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM docs)),
+  c12t AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+  c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12t GROUP BY w1),
+  c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12t GROUP BY w2),
+  nt AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12t)
+  SELECT w1, w2, c12,
+         round(2.0 * (
+             CASE WHEN c12 > 0 THEN c12 * ln(c12 / (c1 * CAST(c2 AS DOUBLE) / n)) ELSE 0 END
+           + CASE WHEN c1 - c12 > 0 THEN (c1 - c12) * ln((c1 - c12) / (c1 * (n - CAST(c2 AS DOUBLE)) / n)) ELSE 0 END
+           + CASE WHEN c2 - c12 > 0 THEN (c2 - c12) * ln((c2 - c12) / ((n - CAST(c1 AS DOUBLE)) * c2 / n)) ELSE 0 END
+           + CASE WHEN n - c1 - c2 + c12 > 0 THEN (n - c1 - c2 + c12) * ln((n - c1 - c2 + c12) / ((n - CAST(c1 AS DOUBLE)) * (n - c2) / n)) ELSE 0 END
+         ), 6) AS llr
+  FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN nt
+  WHERE c12 >= {COLLOC_MIN_C12}
+"""
+
+QUERIES["collocations_llr"] = q_collocations_llr
+ORACLES["collocations_llr"] = SQL_COLLOCATIONS_LLR

@@ -331,3 +331,44 @@ def test_call_graph_matches_python(spark, docs_pd):
     # synthesis exercises the unresolved branch (util_20..24 have no def)
     assert any(v[3] == 0 for v in got.values())
     assert any(v[3] > 0 for v in got.values())
+
+
+def test_collocations_llr_matches_python(spark, docs_pd):
+    """Dunning G2 recomputed in pure Python over the same bigrams."""
+    from obiemachinelearningframework_spark.queries import (
+        COLLOC_MIN_C12,
+        q_collocations_llr,
+    )
+
+    got = {(r.w1, r.w2): (r.c12, r.llr)
+           for r in q_collocations_llr(spark, SF_DIR).collect()}
+    c12 = defaultdict(int)
+    for text in docs_pd.text:
+        toks = [t for t in text.split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1, c2 = defaultdict(int), defaultdict(int)
+    for (a, b), k in c12.items():
+        c1[a] += k
+        c2[b] += k
+    n = sum(c12.values())
+    exp = {}
+    for (a, b), k in c12.items():
+        if k < COLLOC_MIN_C12:
+            continue
+        k11, k12b, k21 = k, c1[a] - k, c2[b] - k
+        k22 = n - c1[a] - c2[b] + k
+        e11 = c1[a] * c2[b] / n
+        e12 = c1[a] * (n - c2[b]) / n
+        e21 = (n - c1[a]) * c2[b] / n
+        e22 = (n - c1[a]) * (n - c2[b]) / n
+        g2 = 2 * sum(kk * math.log(kk / ee)
+                     for kk, ee in ((k11, e11), (k12b, e12),
+                                    (k21, e21), (k22, e22)) if kk > 0)
+        exp[(a, b)] = (k, round(g2, 6))
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0]
+        assert got[key][1] == pytest.approx(exp[key][1], abs=2e-6)
+    # a genuinely associated pair must rank far above independence
+    assert max(v[1] for v in got.values()) > 10.0
