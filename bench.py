@@ -127,6 +127,7 @@ HEADLINE = [
     "kg_time_travel",
     "kg_incremental_extract",
     "collocations_llr",
+    "revenue_forecast",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

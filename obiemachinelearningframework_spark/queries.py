@@ -8085,3 +8085,45 @@ SQL_COLLOCATIONS_LLR = f"""
 
 QUERIES["collocations_llr"] = q_collocations_llr
 ORACLES["collocations_llr"] = SQL_COLLOCATIONS_LLR
+
+
+# ------------------------------- TPC-H Q6 forecast revenue (oracled)
+# The canonical scan-with-pushdown query (completes the repo's TPC-H
+# slice alongside Q1/Q3/Q4/Q5): one fact scan where EVERY predicate
+# (date range, discount band, quantity cap) pushes into the parquet
+# reader and the two-column projection prunes the rest — explain shows
+# PushedFilters + a 3-column ReadSchema; at 100 TB this is the
+# difference between reading a year's partition slice and the table.
+# Revenue in exact integer micro-cents (price 2dp x discount 2dp).
+
+def q_revenue_forecast(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    micro = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return sel.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(micro).alias("revenue_microcents"),
+    )
+
+
+SQL_REVENUE_FORECAST = """
+  SELECT count(*) AS n_rows,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_microcents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_discount >= 0.05 AND l_discount <= 0.07
+    AND l_quantity < 24
+"""
+
+QUERIES["revenue_forecast"] = q_revenue_forecast
+ORACLES["revenue_forecast"] = SQL_REVENUE_FORECAST
