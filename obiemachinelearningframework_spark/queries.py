@@ -2251,22 +2251,18 @@ PAGERANK_D = 0.85
 PAGERANK_ITERS = 3
 
 
-def q_kg_pagerank(spark, sf_dir):
-    """PageRank over the materialized KG (damping 0.85, 3 iterations,
-    simplified dangling handling: leaked mass is not redistributed —
-    identical on both engines). Each iteration is one co-partitioned join
-    (edges ⋈ ranks on the source key) plus one keyed aggregation; the node
-    count rides as a 1-row broadcast. At scale this is the standard
-    iterative-join PageRank — iterations are bounded and the rank table
-    stays node-sized, so lineage is shallow enough to skip checkpointing
-    at 3 rounds (canonicalize.py shows the localCheckpoint pattern where
-    rounds are data-dependent)."""
-    t = q_triples_kg(spark, sf_dir)
-    # the three tables every iteration re-reads are materialized once
-    # (edge-/node-sized) so the unrolled plan scans them instead of
-    # re-deriving the extraction subtree per branch — the same
-    # localCheckpoint lineage cut the CC operator uses (canonicalize.py)
-    edges = t.select("subj", "obj").distinct().localCheckpoint()
+def pagerank_kernel(edge_df, iters: int = PAGERANK_ITERS,
+                    damping: float = PAGERANK_D):
+    """Iterative-join PageRank over an arbitrary (subj, obj) edge table —
+    shared by the registry query and the scaling-evidence workload
+    (tools/scaling_pipeline.py). Each iteration is one co-partitioned
+    join (edges ⋈ ranks on the source key) plus one keyed aggregation;
+    the node count rides as a 1-row broadcast; dangling mass is not
+    redistributed (documented simplification, identical on both
+    engines). Base tables are materialized once (localCheckpoint) so the
+    unrolled plan scans them instead of re-deriving the upstream
+    subtree per branch."""
+    edges = edge_df.select("subj", "obj").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .union(edges.select(F.col("obj").alias("node")))
@@ -2278,7 +2274,7 @@ def q_kg_pagerank(spark, sf_dir):
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    for _ in range(PAGERANK_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(outd, "subj")
             .join(
@@ -2294,12 +2290,22 @@ def q_kg_pagerank(spark, sf_dir):
             .select(
                 "node",
                 (
-                    (1 - PAGERANK_D) / F.col("n")
-                    + PAGERANK_D * F.coalesce(F.col("c"), F.lit(0.0))
+                    (1 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("pr"),
             )
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the materialized KG (damping 0.85, 3 iterations) —
+    the pagerank_kernel applied to the extraction's triple table. At
+    scale this is the standard iterative-join PageRank — iterations are
+    bounded and the rank table stays node-sized, so lineage is shallow
+    enough to skip checkpointing at 3 rounds (canonicalize.py shows the
+    localCheckpoint pattern where rounds are data-dependent)."""
+    return pagerank_kernel(q_triples_kg(spark, sf_dir))
 
 
 def _pagerank_sql() -> str:

@@ -57,7 +57,12 @@ PAIR = tuple(
 REPEATS = int(os.environ.get("PIPE_SCALING_REPEATS", "3"))
 # identical at both parallelism levels: sized to the data, not the cores
 SHUFFLE_PARTS = int(os.environ.get("PIPE_SCALING_PARTS", "64"))
-QUERIES = ("dedup_minhash_lsh", "quality_funnel")
+QUERIES = ("dedup_minhash_lsh", "quality_funnel", "kg_pagerank_synth")
+
+# third plan shape: join-bound iterative graph analytics (the KG side) —
+# pagerank_kernel over a synthesized power-law-ish edge table
+GRAPH_NODES = int(os.environ.get("PIPE_SCALING_GRAPH_NODES", "2000000"))
+GRAPH_EDGES = int(os.environ.get("PIPE_SCALING_GRAPH_EDGES", "8000000"))
 
 
 def build_corpus() -> str:
@@ -67,7 +72,8 @@ def build_corpus() -> str:
     if os.path.exists(manifest):
         with open(manifest) as f:
             m = json.load(f)
-        if m.get("n_docs") == N_DOCS and m.get("src") == SRC_SF_DIR:
+        if (m.get("n_docs") == N_DOCS and m.get("src") == SRC_SF_DIR
+                and m.get("graph_edges") == GRAPH_EDGES):
             return SCALE_DIR
     import numpy as np
     import pandas as pd
@@ -96,9 +102,23 @@ def build_corpus() -> str:
     for k, part in enumerate(np.array_split(big, N_FILES)):
         part.to_parquet(
             os.path.join(doc_dir, f"part-{k:05d}.parquet"), index=False)
+    # synthetic graph for the KG-analytics workload: sources zipf-skewed
+    # (hub out-degrees, the shape extracted KGs actually have),
+    # destinations uniform
+    srcs = (rng.zipf(1.3, GRAPH_EDGES) - 1) % GRAPH_NODES
+    dsts = rng.integers(0, GRAPH_NODES, GRAPH_EDGES)
+    edges = pd.DataFrame({
+        "subj": np.char.add("n", srcs.astype("U10")),
+        "obj": np.char.add("n", dsts.astype("U10")),
+    })
+    edge_dir = os.path.join(SCALE_DIR, "edges.parquet")
+    os.makedirs(edge_dir, exist_ok=True)
+    for k, part in enumerate(np.array_split(edges, N_FILES)):
+        part.to_parquet(
+            os.path.join(edge_dir, f"part-{k:05d}.parquet"), index=False)
     with open(manifest, "w") as f:
         json.dump({"n_docs": N_DOCS, "src": SRC_SF_DIR,
-                   "rows": len(big)}, f)
+                   "rows": len(big), "graph_edges": GRAPH_EDGES}, f)
     return SCALE_DIR
 
 
@@ -118,9 +138,17 @@ def worker(cpus: int) -> None:
     # 2-3-partition scan — measuring the splitter, not the operator)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     n_docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet").count()
-    res = {"cpus": cpus, "n_docs": n_docs, "queries": {}}
+    n_edges = spark.read.parquet(f"{SCALE_DIR}/edges.parquet").count()
+    res = {"cpus": cpus, "n_docs": n_docs, "n_edges": n_edges, "queries": {}}
+
+    def run_pagerank(spark, _):
+        return Q.pagerank_kernel(
+            spark.read.parquet(f"{SCALE_DIR}/edges.parquet"))
+
     for name in QUERIES:
-        fn = Q.QUERIES[name]
+        graphy = name == "kg_pagerank_synth"
+        fn = run_pagerank if graphy else Q.QUERIES[name]
+        unit = n_edges if graphy else n_docs
         fn(spark, SCALE_DIR).count()  # untimed warm-up (JIT, workers)
         t0 = time.perf_counter()
         n = fn(spark, SCALE_DIR).count()
@@ -128,7 +156,7 @@ def worker(cpus: int) -> None:
         res["queries"][name] = {
             "sec": round(dt, 3),
             "rows": n,
-            "docs_per_sec": round(n_docs / dt, 1),
+            "docs_per_sec": round(unit / dt, 1),
         }
     print(json.dumps(res))
 
@@ -183,10 +211,14 @@ def main() -> None:
         tlo = best[lo]["queries"][name]
         thi = best[hi]["queries"][name]
         eff = (thi["docs_per_sec"] / tlo["docs_per_sec"]) / (hi / lo)
+        graphy = name == "kg_pagerank_synth"
+        size = (f"{best[lo].get('n_edges', 0)} edges" if graphy
+                else f"{best[lo]['n_docs']} docs")
+        unit_hdr = "edges/sec" if graphy else "docs/sec"
         lines_out += [
-            f"### {name} ({best[lo]['n_docs']} docs)",
+            f"### {name} ({size})",
             "",
-            "| parallelism | sec | result rows | docs/sec | steal% |",
+            f"| parallelism | sec | result rows | {unit_hdr} | steal% |",
             "|---|---|---|---|---|",
             f"| local[{lo}] | {tlo['sec']} | {tlo['rows']} |"
             f" {tlo['docs_per_sec']} | {best[lo]['steal_pct']} |",
@@ -223,7 +255,10 @@ def main() -> None:
                 " dedup plan lands within a few points of that ceiling;"
                 " the scan-bound funnel sits lower because tokenizing"
                 " via explode is memory-bandwidth-bound, which degrades"
-                " faster than pure compute as threads share one socket."
+                " faster than pure compute as threads share one socket;"
+                " the join-bound iterative PageRank exercises the third"
+                " plan shape (repeated co-partitioned joins + keyed"
+                " aggregations over a hub-skewed graph)."
                 " The PRIMARY gate evidence remains the extraction"
                 " kernel's 0.942 at the same pair (BENCH/BASELINE.md);"
                 " this table shows the secondary data-pipeline operators"
