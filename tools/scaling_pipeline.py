@@ -57,12 +57,14 @@ PAIR = tuple(
 REPEATS = int(os.environ.get("PIPE_SCALING_REPEATS", "3"))
 # identical at both parallelism levels: sized to the data, not the cores
 SHUFFLE_PARTS = int(os.environ.get("PIPE_SCALING_PARTS", "64"))
-QUERIES = ("dedup_minhash_lsh", "quality_funnel", "kg_pagerank_synth")
+QUERIES = tuple(os.environ.get(
+    "PIPE_SCALING_QUERIES",
+    "dedup_minhash_lsh,quality_funnel,kg_pagerank_synth").split(","))
 
 # third plan shape: join-bound iterative graph analytics (the KG side) —
 # pagerank_kernel over a synthesized power-law-ish edge table
-GRAPH_NODES = int(os.environ.get("PIPE_SCALING_GRAPH_NODES", "2000000"))
-GRAPH_EDGES = int(os.environ.get("PIPE_SCALING_GRAPH_EDGES", "8000000"))
+GRAPH_NODES = int(os.environ.get("PIPE_SCALING_GRAPH_NODES", "8000000"))
+GRAPH_EDGES = int(os.environ.get("PIPE_SCALING_GRAPH_EDGES", "32000000"))
 
 
 def build_corpus() -> str:
