@@ -128,6 +128,8 @@ HEADLINE = [
     "kg_incremental_extract",
     "collocations_llr",
     "revenue_forecast",
+    "ann_prefix_recall",
+    "code_import_cycles",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

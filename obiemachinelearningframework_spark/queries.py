@@ -8133,3 +8133,212 @@ SQL_REVENUE_FORECAST = """
 
 QUERIES["revenue_forecast"] = q_revenue_forecast
 ORACLES["revenue_forecast"] = SQL_REVENUE_FORECAST
+
+
+# --------------------------- prefix-truncation recall (oracled)
+# The Matryoshka-representation question (Kusupati et al. 2022): how
+# much retrieval quality survives if the index stores only the first
+# PREFIX_D of n_dims dimensions (a 4x index shrink with zero transform,
+# the cheapest alternative to SQ/PQ/PCA)? recall@5 of brute-force
+# cosine over the PREFIX against the full-vector top-5, per query, on
+# the bounded qid slice every exact baseline in this registry uses. On
+# these isotropic fixtures the recall is LOW — which is the point: this
+# gauge is what tells you whether your actual encoder was
+# Matryoshka-trained before you cut the index in four (ann_sq_recall
+# answers the same question for int8, test_pca's gauge for PCA).
+
+PREFIX_D = 16
+
+
+def q_ann_prefix_recall(spark, sf_dir):
+    from .operators.ivf import _cos_expr
+
+    full5 = q_cosine_topk(spark, sf_dir).select("qid", "nid")
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(f"slice(CAST(embedding AS array<double>), 1, {PREFIX_D})")
+        .alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("va")).filter(
+        F.col("qid") < 20
+    )
+    b = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"))
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _cos_expr("va", "vb").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc(F.round("cos", 6)), F.asc("nid"))
+    pre5 = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid")
+    )
+    hits = (
+        full5.join(pre5, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        full5.groupBy("qid")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid", "k",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.col("k"), 4)
+            .alias("recall"),
+        )
+    )
+
+
+SQL_ANN_PREFIX_RECALL = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)),
+  norm AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM e GROUP BY vec_id),
+  dot AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+    FROM e a JOIN e b ON a.d = b.d AND a.vec_id <> b.vec_id AND a.vec_id < 20
+    GROUP BY a.vec_id, b.vec_id),
+  pairs AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM dot JOIN norm na ON na.vec_id = qid JOIN norm nb ON nb.vec_id = nid),
+  full5 AS (
+    SELECT qid, nid FROM (
+      SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS rank
+      FROM pairs) WHERE rank <= 5),
+  ep AS (SELECT * FROM e WHERE d < {PREFIX_D}),
+  normp AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ep GROUP BY vec_id),
+  dotp AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+    FROM ep a JOIN ep b ON a.d = b.d AND a.vec_id <> b.vec_id AND a.vec_id < 20
+    GROUP BY a.vec_id, b.vec_id),
+  pairsp AS (
+    SELECT qid, nid, dot / (na.norm * nb.norm) AS cos
+    FROM dotp JOIN normp na ON na.vec_id = qid JOIN normp nb ON nb.vec_id = nid),
+  pre5 AS (
+    SELECT qid, nid FROM (
+      SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY round(cos, 6) DESC, nid ASC) AS rank
+      FROM pairsp) WHERE rank <= 5),
+  h AS (SELECT f.qid, count(*) AS hits
+        FROM full5 f JOIN pre5 p ON f.qid = p.qid AND f.nid = p.nid
+        GROUP BY f.qid)
+  SELECT f.qid, count(*) AS k,
+         coalesce(any_value(h.hits), 0) AS hits,
+         round(coalesce(any_value(h.hits), 0) / CAST(count(*) AS DOUBLE), 4)
+           AS recall
+  FROM full5 f LEFT JOIN h ON f.qid = h.qid
+  GROUP BY f.qid
+"""
+
+QUERIES["ann_prefix_recall"] = q_ann_prefix_recall
+ORACLES["ann_prefix_recall"] = SQL_ANN_PREFIX_RECALL
+
+
+# ----------------------------- import-cycle detection (oracled)
+# The static-analysis step after code_import_graph: directed 2- and
+# 3-cycles among resolved module imports (circular imports — the
+# refactoring signal, and for a build system the reason a dependency
+# DAG check exists). Cycles are found by self-joining the edge table
+# along the path; because synthesized out-degree is bounded (real
+# import graphs: median out-degree < 20), a k-hop join costs
+# O(edges * degree^(k-2)) — linear-ish, never all-pairs. Canonical form
+# (lexicographically smallest module first) reports each directed cycle
+# exactly once. A planted mod_0 -> mod_1 -> mod_2 -> mod_0 triangle
+# guarantees the 3-cycle branch is exercised at every SF.
+
+def q_code_import_cycles(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    extra = F.when(
+        F.col("doc_id") < 3,
+        F.concat(F.lit(" ; import mod_"),
+                 ((F.col("doc_id") + 1) % 3).cast("string")),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        F.lit("import mod_"), ((F.col("doc_id") * 7 + 1) % MOD_SPACE).cast("string"),
+        F.lit(" ; import mod_"), ((F.col("doc_id") * 13 + 5) % MOD_SPACE).cast("string"),
+        F.lit(" ; from mod_"), ((F.col("doc_id") * 31 + 11) % MOD_SPACE).cast("string"),
+        F.lit(" import util"), extra,
+    )
+    src = d.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("src"),
+        content.alias("content"),
+    )
+    defined = d.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("dst")
+    ).distinct()
+    e = (
+        src.select(
+            "src",
+            F.explode(
+                F.concat(
+                    F.regexp_extract_all("content", F.lit(IMPORT_RE), F.lit(1)),
+                    F.regexp_extract_all("content", F.lit(FROM_RE), F.lit(1)),
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .join(defined, "dst", "left_semi")
+        .distinct()
+    )
+    a = e.select(F.col("src").alias("m1"), F.col("dst").alias("m2"))
+    b = e.select(F.col("src").alias("m2"), F.col("dst").alias("m3"))
+    c = e.select(F.col("src").alias("m3"), F.col("dst").alias("m4"))
+    cyc2 = (
+        a.join(b, "m2")
+        .filter((F.col("m3") == F.col("m1")) & (F.col("m1") < F.col("m2")))
+        .select(F.lit(2).alias("clen"), "m1", "m2", F.lit("-").alias("m3"))
+    )
+    cyc3 = (
+        a.join(b, "m2")
+        .filter(F.col("m3") != F.col("m1"))
+        .join(c, "m3")
+        .filter(
+            (F.col("m4") == F.col("m1"))
+            & (F.col("m1") < F.col("m2"))
+            & (F.col("m1") < F.col("m3"))
+        )
+        .select(F.lit(3).alias("clen"), "m1", "m2", "m3")
+    )
+    return cyc2.unionByName(cyc3)
+
+
+SQL_CODE_IMPORT_CYCLES = f"""
+  WITH aug AS (
+    SELECT 'mod_' || CAST(doc_id AS VARCHAR) AS src,
+           'import mod_' || CAST((doc_id * 7 + 1) % {MOD_SPACE} AS VARCHAR)
+           || ' ; import mod_' || CAST((doc_id * 13 + 5) % {MOD_SPACE} AS VARCHAR)
+           || ' ; from mod_' || CAST((doc_id * 31 + 11) % {MOD_SPACE} AS VARCHAR)
+           || ' import util'
+           || CASE WHEN doc_id < 3
+                   THEN ' ; import mod_' || CAST((doc_id + 1) % 3 AS VARCHAR)
+                   ELSE '' END AS content
+    FROM documents),
+  defined AS (SELECT DISTINCT 'mod_' || CAST(doc_id AS VARCHAR) AS m
+              FROM documents),
+  e AS (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, unnest(list_concat(
+               regexp_extract_all(content, 'import (mod_[0-9]+)', 1),
+               regexp_extract_all(content, 'from (mod_[0-9]+) import', 1))) AS dst
+      FROM aug)
+    WHERE src <> dst AND dst IN (SELECT m FROM defined)),
+  cyc2 AS (
+    SELECT 2 AS clen, a.src AS m1, a.dst AS m2, '-' AS m3
+    FROM e a JOIN e b ON a.dst = b.src AND b.dst = a.src
+    WHERE a.src < a.dst),
+  cyc3 AS (
+    SELECT 3 AS clen, a.src AS m1, a.dst AS m2, b.dst AS m3
+    FROM e a JOIN e b ON a.dst = b.src
+             JOIN e c ON b.dst = c.src AND c.dst = a.src
+    WHERE b.dst <> a.src AND a.src < a.dst AND a.src < b.dst)
+  SELECT * FROM cyc2 UNION ALL SELECT * FROM cyc3
+"""
+
+QUERIES["code_import_cycles"] = q_code_import_cycles
+ORACLES["code_import_cycles"] = SQL_CODE_IMPORT_CYCLES
