@@ -130,6 +130,7 @@ HEADLINE = [
     "revenue_forecast",
     "ann_prefix_recall",
     "code_import_cycles",
+    "code_license_compat",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -8342,3 +8342,87 @@ SQL_CODE_IMPORT_CYCLES = f"""
 
 QUERIES["code_import_cycles"] = q_code_import_cycles
 ORACLES["code_import_cycles"] = SQL_CODE_IMPORT_CYCLES
+
+
+# ------------------------- license compatibility matrix (oracled)
+# Composition of the two compliance primitives: license_detect's
+# marker-argmin classification x code_import_graph's resolved edges —
+# "which import edges cross a license boundary the release can't ship"
+# (a permissive or unlicensed module importing copyleft code is the
+# GPL-propagation flag; copyleft importing permissive is fine). Both
+# classifications stay map-only projections; the edge table joins its
+# two module-keyed license lookups and rolls up to the bounded
+# (src_family, dst_family) matrix — at 10^12 files this is two
+# doc-keyed joins and a 9-row aggregate.
+
+def q_code_license_compat(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pat_arr = F.array(*[
+        F.struct(
+            F.lit(p).alias("prio"), F.lit(l).alias("license"),
+            F.lit(fam).alias("family"), F.lit(m).alias("marker"),
+        )
+        for l, m, fam, p in LICENSE_PATTERNS
+    ])
+    content = F.concat(_license_header_col(), F.lit(" "), F.col("text"))
+    best = F.array_min(F.filter(pat_arr, lambda x: content.contains(x["marker"])))
+    lic = d.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("mod"),
+        F.coalesce(best["family"], F.lit("unknown")).alias("family"),
+    )
+    edges = q_code_import_graph(spark, sf_dir).filter(
+        F.col("resolved") == 1
+    ).select("src", "dst")
+    joined = (
+        edges.join(lic.select(F.col("mod").alias("src"),
+                              F.col("family").alias("src_family")), "src")
+        .join(lic.select(F.col("mod").alias("dst"),
+                         F.col("family").alias("dst_family")), "dst")
+    )
+    return joined.groupBy("src_family", "dst_family").agg(
+        F.count("*").alias("n_edges"),
+        F.max(
+            ((F.col("dst_family") == "copyleft")
+             & (F.col("src_family") != "copyleft")).cast("int")
+        ).alias("conflict"),
+    )
+
+
+SQL_CODE_LICENSE_COMPAT = f"""
+  WITH pats(license, marker, family, prio) AS (VALUES {_LICENSE_PATTERNS_SQL}),
+  files AS (
+    SELECT doc_id, 'mod_' || CAST(doc_id AS VARCHAR) AS mod,
+           {_LICENSE_HEADER_CASE} || ' ' || text AS content
+    FROM documents),
+  hits AS (
+    SELECT f.mod, p.family, p.prio
+    FROM files f LEFT JOIN pats p ON contains(f.content, p.marker)),
+  lic AS (
+    SELECT mod, coalesce(arg_min(family, prio), 'unknown') AS family
+    FROM hits GROUP BY mod),
+  aug AS (
+    SELECT 'mod_' || CAST(doc_id AS VARCHAR) AS src,
+           'import mod_' || CAST((doc_id * 7 + 1) % {MOD_SPACE} AS VARCHAR)
+           || ' ; import mod_' || CAST((doc_id * 13 + 5) % {MOD_SPACE} AS VARCHAR)
+           || ' ; from mod_' || CAST((doc_id * 31 + 11) % {MOD_SPACE} AS VARCHAR)
+           || ' import util ; def fn_' || CAST(doc_id AS VARCHAR)
+           || ' (): pass' AS content
+    FROM documents),
+  edges AS (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, unnest(list_concat(
+               regexp_extract_all(content, 'import (mod_[0-9]+)', 1),
+               regexp_extract_all(content, 'from (mod_[0-9]+) import', 1))) AS dst
+      FROM aug)
+    WHERE dst IN (SELECT mod FROM lic)),
+  joined AS (
+    SELECT ls.family AS src_family, ld.family AS dst_family
+    FROM edges e JOIN lic ls ON e.src = ls.mod JOIN lic ld ON e.dst = ld.mod)
+  SELECT src_family, dst_family, count(*) AS n_edges,
+         max(CASE WHEN dst_family = 'copyleft' AND src_family <> 'copyleft'
+                  THEN 1 ELSE 0 END) AS conflict
+  FROM joined GROUP BY src_family, dst_family
+"""
+
+QUERIES["code_license_compat"] = q_code_license_compat
+ORACLES["code_license_compat"] = SQL_CODE_LICENSE_COMPAT
