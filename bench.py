@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_prefix_recall",
     "code_import_cycles",
     "code_license_compat",
+    "kg_health_report",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -8426,3 +8426,52 @@ SQL_CODE_LICENSE_COMPAT = f"""
 
 QUERIES["code_license_compat"] = q_code_license_compat
 ORACLES["code_license_compat"] = SQL_CODE_LICENSE_COMPAT
+
+
+# --------------------------------- KG health report (oracled)
+# The composed governance report a KG build publishes with every
+# release (curation_funnel's pattern applied to the graph side): triple
+# volume, node counts, and the two consistency channels (functional-
+# predicate conflicts, ontology type violations) as ONE bounded row
+# set, each line computed by the registry's own component query — the
+# composition proof that the checks run off the same materialized KG.
+# The oracle is assembled from the components' own oracle SQL as
+# subqueries, so the composed report can never drift from the parts.
+
+def q_kg_health_report(spark, sf_dir):
+    def cnt(name, df):
+        return df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("metric"), "n"
+        )
+
+    t = q_triples_kg(spark, sf_dir)
+    parts = [
+        cnt("triples", t),
+        cnt("subjects", t.select("subj").distinct()),
+        cnt("objects", t.select("obj").distinct()),
+        cnt("cardinality_conflicts", q_kg_cardinality_conflicts(spark, sf_dir)),
+        cnt("type_violations", q_kg_type_violations(spark, sf_dir)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _kg_health_sql() -> str:
+    return f"""
+  SELECT 'triples' AS metric, CAST(count(*) AS BIGINT) AS n
+  FROM ({ORACLES["triples_kg"]})
+  UNION ALL SELECT 'subjects', CAST(count(DISTINCT subj) AS BIGINT)
+  FROM ({ORACLES["triples_kg"]})
+  UNION ALL SELECT 'objects', CAST(count(DISTINCT obj) AS BIGINT)
+  FROM ({ORACLES["triples_kg"]})
+  UNION ALL SELECT 'cardinality_conflicts', CAST(count(*) AS BIGINT)
+  FROM ({ORACLES["kg_cardinality_conflicts"]})
+  UNION ALL SELECT 'type_violations', CAST(count(*) AS BIGINT)
+  FROM ({ORACLES["kg_type_violations"]})
+"""
+
+
+QUERIES["kg_health_report"] = q_kg_health_report
+ORACLES["kg_health_report"] = _kg_health_sql()
