@@ -132,6 +132,8 @@ HEADLINE = [
     "code_import_cycles",
     "code_license_compat",
     "kg_health_report",
+    "orders_market_basket",
+    "events_dau_wau",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

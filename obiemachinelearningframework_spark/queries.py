@@ -8475,3 +8475,120 @@ def _kg_health_sql() -> str:
 
 QUERIES["kg_health_report"] = q_kg_health_report
 ORACLES["kg_health_report"] = _kg_health_sql()
+
+
+# ------------------------- pairwise co-occurrence lift (oracled)
+# Market-basket pair mining over order lines (the pairwise core of
+# frequent-itemset mining, and structurally the same operator as
+# entity co-occurrence lift over documents): per unordered part pair,
+# co-purchase count, support, and lift = P(a,b) / (P(a) P(b)). Pair
+# generation self-joins WITHIN the basket key, so cost is bounded by
+# basket size (TPC-H orders hold <= 7 lines; a general pipeline caps
+# giant baskets the way kg_entity_overlap caps hub documents) — never
+# an all-pairs join. Lift lands behind a 6-dp round; counts are exact.
+
+BASKET_MIN_N = 3
+
+
+def q_orders_market_basket(spark, sf_dir):
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = items.select("o").distinct().agg(F.count("*").alias("n_orders"))
+    item_n = items.groupBy("p").agg(F.count("*").alias("np"))
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BASKET_MIN_N)
+    )
+    return (
+        pairs.join(item_n.select(F.col("p").alias("pa"), F.col("np").alias("na")), "pa")
+        .join(item_n.select(F.col("p").alias("pb"), F.col("np").alias("nb")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n",
+            F.round(F.col("n") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n") * F.col("n_orders")
+                / (F.col("na") * F.col("nb").cast("double")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_ORDERS_MARKET_BASKET = f"""
+  WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  n_orders AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+  item_n AS (SELECT p, count(*) AS np FROM items GROUP BY p),
+  pairs AS (
+    SELECT a.p AS pa, b.p AS pb, count(*) AS n
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING count(*) >= {BASKET_MIN_N})
+  SELECT pa, pb, n,
+         round(n / CAST(n_orders AS DOUBLE), 6) AS support,
+         round(n * n_orders / (na.np * CAST(nb.np AS DOUBLE)), 6) AS lift
+  FROM pairs
+  JOIN item_n na ON na.p = pa
+  JOIN item_n nb ON nb.p = pb
+  CROSS JOIN n_orders
+"""
+
+QUERIES["orders_market_basket"] = q_orders_market_basket
+ORACLES["orders_market_basket"] = SQL_ORDERS_MARKET_BASKET
+
+
+# --------------------------------- DAU / rolling WAU (oracled)
+# Engagement analytics over the event stream: daily active users and
+# the 7-day rolling distinct-user count. The rolling distinct CANNOT be
+# a windowed sum of daily counts (distincts do not add); it is derived
+# by expanding each (day, user) activity row to the <= 7 report days it
+# supports (a map-only 7x literal-offset explode — the
+# events_sliding_window idiom, not a calendar-table join) and counting
+# distinct users per report day. State per reduce key is one count;
+# report days are calendar-bounded.
+
+WAU_DAYS = 7
+
+
+def q_events_dau_wau(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+        ).cast("bigint").alias("day"),
+        "user_id",
+    )
+    day_user = ev.distinct()
+    dau = day_user.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    expanded = day_user.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in range(WAU_DAYS)])).alias("k"),
+        F.col("day").alias("d0"),
+    ).select("user_id", (F.col("d0") + F.col("k")).alias("day"))
+    wau = expanded.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    # report only days with actual activity (join, not the padded tail)
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+SQL_EVENTS_DAU_WAU = f"""
+  WITH ev AS (
+    SELECT CAST(floor(epoch_us(ts) / 1000000 / 86400) AS BIGINT) AS day,
+           user_id
+    FROM events),
+  day_user AS (SELECT DISTINCT day, user_id FROM ev),
+  dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM day_user GROUP BY day),
+  expanded AS (
+    SELECT user_id, day + k AS day
+    FROM day_user CROSS JOIN unnest(range(0, {WAU_DAYS})) AS t(k)),
+  wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM expanded GROUP BY day)
+  SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+QUERIES["events_dau_wau"] = q_events_dau_wau
+ORACLES["events_dau_wau"] = SQL_EVENTS_DAU_WAU
