@@ -134,6 +134,8 @@ HEADLINE = [
     "kg_health_report",
     "orders_market_basket",
     "events_dau_wau",
+    "events_anomaly",
+    "kg_degree_distribution",
 ]
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

@@ -8592,3 +8592,102 @@ SQL_EVENTS_DAU_WAU = f"""
 
 QUERIES["events_dau_wau"] = q_events_dau_wau
 ORACLES["events_dau_wau"] = SQL_EVENTS_DAU_WAU
+
+
+# ------------------------- volume anomaly detection (oracled)
+# The monitoring gauge over the event stream (and, at the KG build,
+# over per-crawl extraction volumes): per (event_type, day) volume
+# z-scored against THAT TYPE's mean/std across days — |z| >= 2 flags
+# the day. Two keyed aggregations (day counts, then per-type moments —
+# the second over a day-bounded table) and one vocabulary-keyed join;
+# z lands behind a 6-dp round. Population std (n divisor) and exact
+# integer sums keep both engines bit-aligned before the rounding.
+
+ANOM_Z = 2.0
+
+
+def q_events_anomaly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+        ).cast("bigint").alias("day"),
+        "event_type",
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("days")
+    var = F.col("ss") / F.col("days") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type", "day", "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) >= ANOM_Z).cast("int").alias("anomaly"),
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+  WITH ev AS (
+    SELECT CAST(floor(epoch_us(ts) / 1000000 / 86400) AS BIGINT) AS day,
+           event_type
+    FROM events),
+  daily AS (SELECT event_type, day, count(*) AS n
+            FROM ev GROUP BY event_type, day),
+  stats AS (SELECT event_type, count(*) AS days,
+                   CAST(sum(n) AS BIGINT) AS s,
+                   CAST(sum(n * n) AS BIGINT) AS ss
+            FROM daily GROUP BY event_type)
+  SELECT d.event_type, d.day, d.n,
+         round((d.n - s / CAST(days AS DOUBLE))
+               / sqrt(ss / CAST(days AS DOUBLE)
+                      - (s / CAST(days AS DOUBLE)) * (s / CAST(days AS DOUBLE))),
+               6) AS z,
+         CAST(abs(round((d.n - s / CAST(days AS DOUBLE))
+               / sqrt(ss / CAST(days AS DOUBLE)
+                      - (s / CAST(days AS DOUBLE)) * (s / CAST(days AS DOUBLE))),
+               6)) >= {ANOM_Z} AS INT) AS anomaly
+  FROM daily d JOIN stats USING (event_type)
+"""
+
+QUERIES["events_anomaly"] = q_events_anomaly
+ORACLES["events_anomaly"] = SQL_EVENTS_ANOMALY
+
+
+# ------------------------- degree distribution (oracled)
+# The power-law gauge of the extracted KG: log2-binned total-degree
+# histogram — the one-glance diagnostic that says whether the graph has
+# the hub-heavy shape every skew mitigation in this repo (salting, hub
+# caps, neighbor sampling) exists for. One node-keyed degree
+# aggregation (built on kg_degree) and one bounded-bin rollup.
+
+def q_kg_degree_distribution(spark, sf_dir):
+    deg = q_kg_degree(spark, sf_dir).select(
+        (F.col("out_deg") + F.col("in_deg")).alias("d")
+    )
+    binned = deg.select(
+        F.floor(F.log2(F.col("d").cast("double"))).cast("int").alias("log2_bin")
+    )
+    return binned.groupBy("log2_bin").agg(F.count("*").alias("n_nodes"))
+
+
+SQL_KG_DEGREE_DISTRIBUTION = f"""
+  WITH dict(surface, type_id) AS (VALUES {_DICT_VALUES_SQL}),
+  toks AS ({_TOKENS_SQL}),
+  triples AS (SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subj,
+                     'mentions_' || type_id AS pred, token AS obj
+              FROM toks JOIN dict ON token = surface),
+  o AS (SELECT subj AS node, count(*) AS out_deg FROM triples GROUP BY subj),
+  i AS (SELECT obj AS node, count(*) AS in_deg FROM triples GROUP BY obj),
+  deg AS (SELECT coalesce(out_deg, 0) + coalesce(in_deg, 0) AS d
+          FROM o FULL OUTER JOIN i ON o.node = i.node)
+  SELECT CAST(floor(log2(CAST(d AS DOUBLE))) AS INT) AS log2_bin,
+         count(*) AS n_nodes
+  FROM deg GROUP BY 1
+"""
+
+QUERIES["kg_degree_distribution"] = q_kg_degree_distribution
+ORACLES["kg_degree_distribution"] = SQL_KG_DEGREE_DISTRIBUTION
