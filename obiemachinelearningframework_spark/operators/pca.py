@@ -9,12 +9,15 @@ regardless of corpus size, and the eigendecomposition of the d x d
 result is a constant-cost driver step (the same planning-action budget
 as a broadcast codebook).
 
-Exactness contract: values are fixed to integer micros (round(v * 1e6),
-half-up — binary floats never land on exact .5 micros, so every
-rounding convention agrees), products and partition partials ride
-int64 — bounded by rows_per_partition * (max|v| * 1e6)^2, i.e. safe to
+Exactness contract: values are fixed to integer micros
+(round(v * 1e6), HALF-AWAY-FROM-ZERO — the convention Spark's F.round
+and DuckDB's round() both use; float32 values that are odd multiples
+of 1/128 DO land on exact .5 micros, so the convention must be pinned,
+not assumed away), products and partition partials ride int64 —
+bounded by rows_per_partition * (max|v| * 1e6)^2, i.e. safe to
 ~9.2e6 rows per partition at |v| <= 1 (size maxPartitionBytes
-accordingly for unnormalized embeddings) — and the cross-partition
+accordingly for unnormalized embeddings; the accumulator enforces this
+bound loudly instead of letting int64 wrap) — and the cross-partition
 reduce sums decimal(38,0), so the Gram entries are bit-identical across
 engines, partitionings, and cluster sizes — the property that makes the
 result oracle-checkable and a resumable pipeline's checkpoint stable.
@@ -32,6 +35,19 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 MICRO = 10 ** 6
+
+# int64 tops out at ~9.22e18; refuse to fold a partition whose worst-case
+# accumulated |entry| could exceed this (with 2x headroom) instead of
+# letting numpy wrap silently.
+_I64_SAFE = 2 ** 62
+
+
+def _round_half_away(x: "np.ndarray") -> "np.ndarray":
+    """Half-away-from-zero rounding — matches Spark F.round (HALF_UP on
+    BigDecimal = away from zero) and DuckDB round(), unlike np.rint
+    (half-to-even). Pinned so Gram entries are bit-identical across the
+    numpy, Spark-SQL, and DuckDB-oracle computations of the same value."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
 def gram_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -51,12 +67,23 @@ def gram_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
         acc = np.zeros((d, d), dtype=np.int64)
         seen = False
+        worst = 0.0  # running bound on any accumulated |entry|
         for pdf in batches:
             if not len(pdf):
                 continue
             seen = True
             m = np.stack([np.asarray(a, dtype=np.float64) for a in pdf[vec_col]])
-            mi = np.rint(m * MICRO).astype(np.int64)
+            mi = _round_half_away(m * MICRO).astype(np.int64)
+            # |sum_r mi_ri * mi_rj| <= rows * max|mi|^2 per batch; keep a
+            # running worst-case so overflow fails loudly, never wraps
+            worst += float(len(pdf)) * float(np.abs(mi).max()) ** 2
+            if worst >= _I64_SAFE:
+                raise OverflowError(
+                    "gram_micro int64 accumulator bound exceeded: "
+                    f"worst-case |entry| ~{worst:.3g} >= {_I64_SAFE:.3g}. "
+                    "Shrink partitions (spark.sql.files.maxPartitionBytes) "
+                    "or normalize the embedding column."
+                )
             acc += mi.T @ mi
         if not seen:
             return

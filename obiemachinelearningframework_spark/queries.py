@@ -8622,7 +8622,11 @@ def q_events_anomaly(spark, sf_dir):
     j = daily.join(F.broadcast(stats), "event_type")
     mean = F.col("s") / F.col("days")
     var = F.col("ss") / F.col("days") - mean * mean
-    z = (F.col("n") - mean) / F.sqrt(var)
+    # zero/negative variance (single active day, constant counts, float
+    # cancellation) -> NULL z on BOTH engines, never 0/0 (Spark NULL vs
+    # DuckDB NaN would split) or sqrt(negative) NaN
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(
+        F.lit(None).cast("double"))
     return j.select(
         "event_type", "day", "n",
         F.round(z, 6).alias("z"),
@@ -8640,17 +8644,19 @@ SQL_EVENTS_ANOMALY = f"""
   stats AS (SELECT event_type, count(*) AS days,
                    CAST(sum(n) AS BIGINT) AS s,
                    CAST(sum(n * n) AS BIGINT) AS ss
-            FROM daily GROUP BY event_type)
-  SELECT d.event_type, d.day, d.n,
-         round((d.n - s / CAST(days AS DOUBLE))
-               / sqrt(ss / CAST(days AS DOUBLE)
-                      - (s / CAST(days AS DOUBLE)) * (s / CAST(days AS DOUBLE))),
-               6) AS z,
-         CAST(abs(round((d.n - s / CAST(days AS DOUBLE))
-               / sqrt(ss / CAST(days AS DOUBLE)
-                      - (s / CAST(days AS DOUBLE)) * (s / CAST(days AS DOUBLE))),
-               6)) >= {ANOM_Z} AS INT) AS anomaly
-  FROM daily d JOIN stats USING (event_type)
+            FROM daily GROUP BY event_type),
+  zc AS (SELECT d.event_type, d.day, d.n,
+                s / CAST(days AS DOUBLE) AS mean,
+                ss / CAST(days AS DOUBLE)
+                  - (s / CAST(days AS DOUBLE)) * (s / CAST(days AS DOUBLE))
+                  AS var
+         FROM daily d JOIN stats USING (event_type))
+  SELECT event_type, day, n,
+         CASE WHEN var > 0 THEN round((n - mean) / sqrt(var), 6)
+              ELSE NULL END AS z,
+         CAST(abs(CASE WHEN var > 0 THEN round((n - mean) / sqrt(var), 6)
+                       ELSE NULL END) >= {ANOM_Z} AS INT) AS anomaly
+  FROM zc
 """
 
 QUERIES["events_anomaly"] = q_events_anomaly

@@ -60,22 +60,36 @@ def batch_sketch(docs: DataFrame) -> DataFrame:
     )
 
 
-def _read_commit(state_dir: str) -> tuple[str | None, int]:
-    """(side, last_applied_epoch) from the CURRENT pointer; (None, -1)
-    before the first commit."""
+def _run_id(checkpoint_dir: str) -> str:
+    """Identity of the streaming checkpoint whose epoch counter the
+    replay guard trusts. Epoch ids only grow WITHIN one checkpoint; if
+    the checkpoint is deleted or repointed while the state dir persists,
+    epochs restart at 0 and the bare `epoch <= applied` guard would
+    silently skip every new batch forever. Committing this identity with
+    the flip lets the guard detect that and fail loudly instead."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+
+def _read_commit(state_dir: str) -> tuple[str | None, int, str | None]:
+    """(side, last_applied_epoch, run_id) from the CURRENT pointer;
+    (None, -1, None) before the first commit."""
     ptr = os.path.join(state_dir, "CURRENT")
     if not os.path.exists(ptr):
-        return None, -1
+        return None, -1, None
     with open(ptr) as f:
         parts = f.read().strip().split()
     side = parts[0]
     epoch = int(parts[1]) if len(parts) > 1 else -1
-    return side, epoch
+    run = parts[2] if len(parts) > 2 else None
+    return side, epoch, run
 
 
 def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current committed running sketch (empty if none committed yet)."""
-    side, _ = _read_commit(state_dir)
+    side, _, _ = _read_commit(state_dir)
     if side is None:
         return spark.createDataFrame([], SKETCH_SCHEMA)
     return spark.read.parquet(os.path.join(state_dir, side))
@@ -104,14 +118,24 @@ def estimate(sketch: DataFrame, tokens: list[str]) -> dict[str, int]:
 
 
 def _merge_batch(
-    spark: SparkSession, docs: DataFrame, state_dir: str, epoch_id: int
+    spark: SparkSession, docs: DataFrame, state_dir: str, epoch_id: int,
+    run_id: str,
 ) -> None:
     # counter addition is NOT idempotent (unlike kg_stream's
     # anti-join+union), so replaying a batch after a crash in the window
     # between the A/B flip and the streaming checkpoint's epoch commit
     # would double-count. The epoch id therefore commits WITH the flip:
-    # a replayed epoch <= the committed one is a no-op.
-    cur, applied = _read_commit(state_dir)
+    # a replayed epoch <= the committed one is a no-op — but only within
+    # the SAME streaming checkpoint (run_id); a fresh checkpoint restarts
+    # epochs at 0 and must not be mistaken for a replay.
+    cur, applied, run = _read_commit(state_dir)
+    if run is not None and run != run_id:
+        raise ValueError(
+            f"state dir {state_dir!r} was built under a different streaming "
+            f"checkpoint (run {run}, now {run_id}): its epoch counter "
+            "cannot distinguish replays from new batches. Resume with the "
+            "original checkpointLocation, or start a fresh state dir."
+        )
     if epoch_id <= applied:
         return
     merged = (
@@ -125,7 +149,7 @@ def _merge_batch(
     ptr = os.path.join(state_dir, "CURRENT")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        f.write(f"{nxt} {epoch_id}")
+        f.write(f"{nxt} {epoch_id} {run_id}")
     os.replace(tmp, ptr)  # atomic flip = the commit
 
 
@@ -140,10 +164,12 @@ def stream_cms(
     running CMS under ``state_dir``. Returns the StreamingQuery (drained
     when ``available_now``)."""
     os.makedirs(state_dir, exist_ok=True)
+    run = _run_id(checkpoint_dir)
     src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = (
         src.writeStream
-        .foreachBatch(lambda batch, bid: _merge_batch(spark, batch, state_dir, bid))
+        .foreachBatch(
+            lambda batch, bid: _merge_batch(spark, batch, state_dir, bid, run))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -73,17 +73,13 @@ def batch_state(vecs: DataFrame) -> DataFrame:
     return g.unionByName(sums).unionByName(n)
 
 
-def _read_commit(state_dir: str) -> tuple[str | None, int]:
-    ptr = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(ptr):
-        return None, -1
-    with open(ptr) as f:
-        parts = f.read().strip().split()
-    return parts[0], int(parts[1]) if len(parts) > 1 else -1
+# commit-pointer discipline shared with cms_stream (same A/B flip, same
+# epoch+run-identity replay guard)
+from .cms_stream import _read_commit, _run_id  # noqa: E402
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    side, _ = _read_commit(state_dir)
+    side, _, _ = _read_commit(state_dir)
     if side is None:
         return spark.createDataFrame([], STATE_SCHEMA)
     return spark.read.parquet(os.path.join(state_dir, side))
@@ -113,11 +109,22 @@ def running_pca(spark: SparkSession, state_dir: str, d: int, k: int):
 
 
 def _merge_batch(
-    spark: SparkSession, vecs: DataFrame, state_dir: str, epoch_id: int
+    spark: SparkSession, vecs: DataFrame, state_dir: str, epoch_id: int,
+    run_id: str,
 ) -> None:
     # addition is not idempotent: the epoch id commits WITH the flip so
-    # a crash-replayed batch is a no-op (cms_stream.py discipline)
-    cur, applied = _read_commit(state_dir)
+    # a crash-replayed batch is a no-op (cms_stream.py discipline). The
+    # guard only holds within one streaming checkpoint — a repointed
+    # checkpoint restarts epochs at 0, so a run-identity mismatch is a
+    # loud error, not a silent skip.
+    cur, applied, run = _read_commit(state_dir)
+    if run is not None and run != run_id:
+        raise ValueError(
+            f"state dir {state_dir!r} was built under a different streaming "
+            f"checkpoint (run {run}, now {run_id}): its epoch counter "
+            "cannot distinguish replays from new batches. Resume with the "
+            "original checkpointLocation, or start a fresh state dir."
+        )
     if epoch_id <= applied:
         return
     merged = (
@@ -131,7 +138,7 @@ def _merge_batch(
     ptr = os.path.join(state_dir, "CURRENT")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        f.write(f"{nxt} {epoch_id}")
+        f.write(f"{nxt} {epoch_id} {run_id}")
     os.replace(tmp, ptr)
 
 
@@ -145,10 +152,12 @@ def stream_gram(
     """Vector files landing in ``input_dir`` -> continuously merged
     running Gram/mean/count state under ``state_dir``."""
     os.makedirs(state_dir, exist_ok=True)
+    run = _run_id(checkpoint_dir)
     src = spark.readStream.schema(VEC_SCHEMA).parquet(input_dir)
     writer = (
         src.writeStream
-        .foreachBatch(lambda b, bid: _merge_batch(spark, b, state_dir, bid))
+        .foreachBatch(
+            lambda b, bid: _merge_batch(spark, b, state_dir, bid, run))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

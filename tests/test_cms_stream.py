@@ -101,13 +101,38 @@ def test_merge_batch_replay_is_noop(spark, tmp_path):
     os.makedirs(state, exist_ok=True)
     docs = spark.createDataFrame(BATCH1, DOC_SCHEMA)
 
-    _merge_batch(spark, docs, state, epoch_id=0)
+    _merge_batch(spark, docs, state, epoch_id=0, run_id="runA")
     once = {(r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()}
-    _merge_batch(spark, docs, state, epoch_id=0)  # replay of epoch 0
+    # replay of epoch 0 under the SAME checkpoint identity -> no-op
+    _merge_batch(spark, docs, state, epoch_id=0, run_id="runA")
     assert {
         (r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()
     } == once
 
-    _merge_batch(spark, docs, state, epoch_id=1)  # a NEW epoch does add
+    # a NEW epoch does add
+    _merge_batch(spark, docs, state, epoch_id=1, run_id="runA")
     twice = {(r.r, r.bucket): r.cnt for r in read_sketch(spark, state).collect()}
     assert twice == {k: 2 * v for k, v in once.items()}
+
+
+def test_merge_batch_rejects_foreign_checkpoint(spark, tmp_path):
+    """ADVICE r3: if the streaming checkpoint is deleted/repointed while
+    the state dir persists, epochs restart at 0 and the bare epoch guard
+    would silently skip every new batch forever. A run-identity mismatch
+    must fail loudly instead."""
+    import os
+
+    import pytest
+
+    from obiemachinelearningframework_spark.streaming.cms_stream import (
+        _merge_batch,
+    )
+
+    state = str(tmp_path / "state3")
+    os.makedirs(state, exist_ok=True)
+    docs = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+
+    _merge_batch(spark, docs, state, epoch_id=5, run_id="runA")
+    # fresh checkpoint (epochs restarted at 0) against the old state
+    with pytest.raises(ValueError, match="different streaming checkpoint"):
+        _merge_batch(spark, docs, state, epoch_id=0, run_id="runB")

@@ -30,8 +30,37 @@ def emb_df(spark):
 
 
 def _np_gram_micro(m):
-    mi = np.rint(m * MICRO).astype(np.int64)
+    # half-away-from-zero: the one convention (Spark F.round / DuckDB
+    # round) pinned across every quantization site in the repo
+    x = m * MICRO
+    mi = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
     return mi.T @ mi
+
+
+def test_rounding_convention_half_away(spark):
+    """ADVICE r3: float32 odd multiples of 1/128 land on exact .5 micros;
+    np.rint (half-even) would disagree with Spark F.round and DuckDB
+    round() there. Pin that gram_micro uses half-away-from-zero on both
+    signs of an exact-tie value."""
+    v = 0.0078125          # 1/128 -> 7812.5 micros, an exact tie
+    df = spark.createDataFrame(
+        [(0, [v, -v]), (1, [v, -v])],
+        "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): int(r["g"]) for r in gram_micro(df).collect()}
+    # half-away: 7812.5 -> 7813, -7812.5 -> -7813 (np.rint would give 7812)
+    assert got[(0, 0)] == 2 * 7813 * 7813
+    assert got[(0, 1)] == 2 * 7813 * -7813
+    assert got[(1, 1)] == 2 * 7813 * 7813
+
+
+def test_gram_overflow_guard(spark):
+    """The int64 accumulator refuses loudly instead of wrapping: one
+    partition of huge-magnitude vectors trips the documented bound."""
+    big = 4e3  # (4e3 * 1e6)^2 = 1.6e19 > 2^62 from a single row
+    df = spark.createDataFrame(
+        [(0, [big, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="accumulator bound exceeded"):
+        gram_micro(df).collect()
 
 
 def test_gram_exact_vs_numpy(spark, emb_df, emb_pd):

@@ -75,7 +75,8 @@ def build_corpus() -> str:
         with open(manifest) as f:
             m = json.load(f)
         if (m.get("n_docs") == N_DOCS and m.get("src") == SRC_SF_DIR
-                and m.get("graph_edges") == GRAPH_EDGES):
+                and m.get("graph_edges") == GRAPH_EDGES
+                and m.get("graph_nodes") == GRAPH_NODES):
             return SCALE_DIR
     import numpy as np
     import pandas as pd
@@ -120,7 +121,8 @@ def build_corpus() -> str:
             os.path.join(edge_dir, f"part-{k:05d}.parquet"), index=False)
     with open(manifest, "w") as f:
         json.dump({"n_docs": N_DOCS, "src": SRC_SF_DIR,
-                   "rows": len(big), "graph_edges": GRAPH_EDGES}, f)
+                   "rows": len(big), "graph_edges": GRAPH_EDGES,
+                   "graph_nodes": GRAPH_NODES}, f)
     return SCALE_DIR
 
 
@@ -158,7 +160,10 @@ def worker(cpus: int) -> None:
         res["queries"][name] = {
             "sec": round(dt, 3),
             "rows": n,
-            "docs_per_sec": round(unit / dt, 1),
+            # 'units_per_sec' + explicit 'unit': for graph workloads the
+            # throughput denominator is edges, not docs
+            "units_per_sec": round(unit / dt, 1),
+            "unit": "edges" if graphy else "docs",
         }
     print(json.dumps(res))
 
@@ -212,20 +217,20 @@ def main() -> None:
                 for c, rs in runs.items()}
         tlo = best[lo]["queries"][name]
         thi = best[hi]["queries"][name]
-        eff = (thi["docs_per_sec"] / tlo["docs_per_sec"]) / (hi / lo)
+        eff = (thi["units_per_sec"] / tlo["units_per_sec"]) / (hi / lo)
         graphy = name == "kg_pagerank_synth"
         size = (f"{best[lo].get('n_edges', 0)} edges" if graphy
                 else f"{best[lo]['n_docs']} docs")
-        unit_hdr = "edges/sec" if graphy else "docs/sec"
+        unit_hdr = f"{tlo['unit']}/sec"
         lines_out += [
             f"### {name} ({size})",
             "",
             f"| parallelism | sec | result rows | {unit_hdr} | steal% |",
             "|---|---|---|---|---|",
             f"| local[{lo}] | {tlo['sec']} | {tlo['rows']} |"
-            f" {tlo['docs_per_sec']} | {best[lo]['steal_pct']} |",
+            f" {tlo['units_per_sec']} | {best[lo]['steal_pct']} |",
             f"| local[{hi}] | {thi['sec']} | {thi['rows']} |"
-            f" {thi['docs_per_sec']} | {best[hi]['steal_pct']} |",
+            f" {thi['units_per_sec']} | {best[hi]['steal_pct']} |",
             "",
             f"- **scaling efficiency (thr{hi}/thr{lo})/{hi // lo} ="
             f" {eff:.3f}**",
