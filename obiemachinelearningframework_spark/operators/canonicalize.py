@@ -19,9 +19,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+# graphs at or below this many edges resolve on the driver: the iterative
+# loop costs ~2 actions per round (checkpoint + convergence count) and the
+# entity graphs most queries feed it are tiny, so a hard-bounded take()
+# gate — the same hybrid the fused link map uses (fused.py
+# LINK_MAP_DRIVER_MAX) — replaces ~10 fixed-latency jobs with one.
+# 200k edges is a few MB on the driver; beyond it, the distributed
+# pointer-jumping loop runs unchanged (the 10^12-row path).
+DRIVER_CC_MAX = 200_000
+
+
+def _driver_components(edge_rows) -> list:
+    """Union-find with min-id representatives — exactly the distributed
+    loop's fixpoint (component = min reachable id), in O(E a(E))."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:       # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(v, find(v)) for v in parent]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15,
+                         driver_max: int = DRIVER_CC_MAX) -> DataFrame:
     """edges(src, dst) undirected -> components(id, component) where
-    component = min id reachable. Deterministic."""
+    component = min id reachable. Deterministic. Graphs under
+    ``driver_max`` edges short-circuit to a driver union-find (bounded
+    take() gate); larger graphs run the distributed pointer-jumping loop."""
+    if driver_max > 0:
+        head = edges.select("src", "dst").take(driver_max + 1)
+        if len(head) <= driver_max:
+            spark = edges.sparkSession
+            id_type = edges.schema["src"].dataType.simpleString()
+            rows = _driver_components(head)
+            return spark.createDataFrame(
+                rows or [], f"id {id_type}, component {id_type}")
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

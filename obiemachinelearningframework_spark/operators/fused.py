@@ -878,13 +878,20 @@ def extract_fused(instances: DataFrame, ontology, weights_pdf: pd.DataFrame,
         # with the corpus vocabulary; the only unbounded collect below is
         # the LINKED map, which the similarity threshold bounds by the
         # dictionary size.
-        win_df = unknown_vocabulary_df(instances, ontology).localCheckpoint(eager=True)
+        # ONE corpus-scan job decides the branch: take() runs the scan
+        # exactly once, and only the big-vocabulary branch (which re-reads
+        # the surfaces for the similarity join) pins the scan result with
+        # a checkpoint — eagerly checkpointing up front charged every
+        # small-vocabulary extraction a second full scan job (the round-3
+        # headline-regression bill at small doc counts)
+        win_df = unknown_vocabulary_df(instances, ontology)
         head = win_df.take(LINK_MAP_DRIVER_MAX + 1)
         if len(head) <= LINK_MAP_DRIVER_MAX:
             link_map = py_link_map([r["text"] for r in head], ontology)
         else:
             from .linking import build_link_map
 
+            win_df = win_df.localCheckpoint(eager=True)
             link_map = rows_to_map(build_link_map(win_df, ontology, spark).collect())
 
     from ..operators.trainer import HASHED_DIM_FEATURE, hashed_dim

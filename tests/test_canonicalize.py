@@ -51,3 +51,24 @@ def test_canonicalize_triples_rewrites_both_sides(spark):
     )
     out = {(r.doc_key, r.subj, r.pred, r.obj) for r in canonicalize_triples(triples, comp).collect()}
     assert out == {("d1", "player_a", "team", "team_x"), ("d2", "player_a", "team", "team_x")}
+
+
+def test_driver_cc_gate_matches_distributed(spark):
+    """The bounded take() driver gate (DRIVER_CC_MAX) must be a pure
+    fast path: identical (id, component) output as the distributed
+    pointer-jumping loop on the same graph."""
+    from obiemachinelearningframework_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (7, 7), (10, 9), (9, 8), (8, 6)],
+        "src bigint, dst bigint",
+    )
+    fast = {(r["id"], r["component"])
+            for r in connected_components(edges).collect()}
+    slow = {(r["id"], r["component"])
+            for r in connected_components(edges, driver_max=0).collect()}
+    assert fast == slow
+    assert fast == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (7, 7),
+                    (6, 6), (8, 6), (9, 6), (10, 6)}

@@ -55,7 +55,7 @@ def main() -> None:
 
     # --- extract, phase by phase (mirrors extract_fused's sequence) ---
     t0 = time.perf_counter()
-    win_df = Fz.unknown_vocabulary_df(inst, pipe.ontology).localCheckpoint(eager=True)
+    win_df = Fz.unknown_vocabulary_df(inst, pipe.ontology)
     head = win_df.take(Fz.LINK_MAP_DRIVER_MAX + 1)
     t["vocab"] = time.perf_counter() - t0
 
@@ -66,6 +66,7 @@ def main() -> None:
     else:
         from obiemachinelearningframework_spark.operators.linking import build_link_map
 
+        win_df = win_df.localCheckpoint(eager=True)
         rows = build_link_map(win_df, pipe.ontology, spark).collect()
         link_map = {}
         for r in sorted(rows, key=lambda r: (r["token"], r["rank"])):
