@@ -38,7 +38,11 @@ class OBIEPipeline:
         bow/char-gram vocabulary outgrows HASH_VOCAB_MAX), or 'auto'
         (numpy up to TRAIN_COLLECT_MAX_PAIRS labeled pairs, then
         distributed, escalating to hashed when the approximate distinct
-        feature count exceeds HASH_VOCAB_MAX).
+        feature count exceeds HASH_VOCAB_MAX), or 'numpy_scheduled'
+        (numpy GD under the reference's epoch-strategy schedule —
+        ``trainer.objective_epochs``: objective-signal epochs 1 and the
+        seeded ~10%, model-disagreement emphasis otherwise;
+        DefaultSlotFillingRunner.java:36-48,96-131).
 
         ``ds_mode``: the reference's enableDistantSupervision — the
         TokenContext family additionally fires at the positions of ALL
@@ -187,6 +191,8 @@ class OBIEPipeline:
             from ..operators.trainer import train_weights_liblinear
 
             self.weights = train_weights_liblinear(feats, labels)
+        elif mode == "numpy_scheduled":
+            self.weights = train_weights(feats, labels, epoch_schedule=True)
         else:
             self.weights = train_weights(feats, labels)
         self.thresholds = thresholds_from_weights(self.weights)
