@@ -35,62 +35,89 @@ def word_freqs(tokens: DataFrame) -> DataFrame:
     )
 
 
-def _merge_symbols_udf(a: str, b: str):
-    ab = a + b
+def _apply_merges_udf(merges_batch: list):
+    """Apply a LIST of merges, in learned order, inside one Arrow-batched
+    pass — identical output to chaining one UDF per merge (each merge is
+    the same left-to-right scan), at one plan stage instead of
+    ``len(merges_batch)``."""
+    ms = [tuple(m) for m in merges_batch]
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def merge(col: pd.Series) -> pd.Series:
+    def apply(col: pd.Series) -> pd.Series:
         def m(syms):
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
+            for a, b in ms:
+                ab = a + b
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
         return col.map(m)
 
-    return merge
+    return apply
 
 
-def learn_bpe(tokens: DataFrame, n_merges: int = 16, min_freq: int = 2) -> list:
+def learn_bpe(tokens: DataFrame, n_merges: int = 16, min_freq: int = 2,
+              flush_every: int = 8) -> list:
     """Learn ``n_merges`` merge rules from a (doc_id, token) DataFrame.
-    Returns [(left, right), ...] in learned order."""
+    Returns [(left, right), ...] in learned order.
+
+    Exact greedy BPE (each argmax sees counts AFTER all prior merges),
+    but the vocabulary rewrite is AMORTIZED (round-3 verdict #4): merges
+    since the last materialization ride as a PENDING list applied inside
+    the pair-count pass itself, and the cached vocab is rewritten only
+    every ``flush_every`` merges. Per merge that is ONE action (the
+    argmax) instead of argmax + materialize-count, and n/flush_every
+    cache rewrites instead of n — the shape a 10k-merge production run
+    needs, with per-pass UDF work bounded by ``flush_every`` pending
+    merges."""
     wf = word_freqs(tokens)
-    vocab = wf.select(
+    base = wf.select(
         "word", "freq",
         F.concat(F.split("word", ""), F.array(F.lit(END))).alias("syms"),
     ).cache()  # materialized lazily by the first argmax action
 
     merges: list = []
-    for it in range(n_merges):
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.zip_with(
-                    F.col("syms"),
-                    F.slice("syms", 2, F.size("syms")),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                )
-            ).alias("p"),
-        ).filter(F.col("p.b").isNotNull())
-        top = (
-            pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_freq:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        nxt = vocab.withColumn("syms", _merge_symbols_udf(a, b)(F.col("syms"))).cache()
-        nxt.count()  # materialize BEFORE dropping the parent cache, or
-        vocab.unpersist()  # iteration i recomputes an i-deep UDF chain
-        vocab = nxt
-    vocab.unpersist()
+    pending: list = []
+    try:
+        for it in range(n_merges):
+            cur = base if not pending else base.withColumn(
+                "syms", _apply_merges_udf(pending)(F.col("syms")))
+            pairs = cur.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.col("syms"),
+                        F.slice("syms", 2, F.size("syms")),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            ).filter(F.col("p.b").isNotNull())
+            top = (
+                pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_freq:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            pending.append((a, b))
+            if len(pending) >= flush_every:
+                nxt = base.withColumn(
+                    "syms", _apply_merges_udf(pending)(F.col("syms"))).cache()
+                nxt.count()   # materialize BEFORE dropping the parent cache
+                base.unpersist()
+                base = nxt
+                pending = []
+    finally:
+        base.unpersist()
     return merges
 
 
