@@ -64,6 +64,34 @@ def main() -> None:
         rows.append((name, a))
         details.append((name, p))
 
+    # obie_fit's training-set plan (round-3 verdict: the one headline bench
+    # entry absent from this audit — and the one that used to hide a
+    # row-Python BatchEvalPython stage in its SparseVector assembly).
+    # Plan SHAPE is data-independent, so a miniature feature table
+    # suffices to audit the assembled-vector lineage both ways.
+    if not sys.argv[2:]:
+        from obiemachinelearningframework_spark.operators.trainer import (
+            assemble_vectors,
+        )
+
+        feats = spark.createDataFrame(
+            [("p1", "fA", 1.0), ("p2", "fB", 0.5)],
+            "pair_id string, feature string, value double",
+        )
+        labels = spark.createDataFrame(
+            [("p1", "s", 1.0), ("p2", "s", 0.0)],
+            "pair_id string, slot_name string, label double",
+        )
+        for label, df in (
+            ("obie_fit:vectors(fit)", assemble_vectors(feats, labels)[0]),
+            ("obie_fit:vectors(transform)",
+             assemble_vectors(feats, None, vocab=["fA", "fB"])[0]),
+        ):
+            p = plan_text(df)
+            a = audit(p)
+            a["wscg_spans"] = wscg_count(df)
+            rows.append((label, a))
+
     out = [
         "# PLANS — physical-plan audit of the query registry",
         "",
