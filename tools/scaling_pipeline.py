@@ -267,7 +267,7 @@ def main() -> None:
                 " plan shape (repeated co-partitioned joins + keyed"
                 " aggregations over a hub-skewed graph)."
                 " The PRIMARY gate evidence remains the extraction"
-                " kernel's 0.942 at the same pair (BENCH/BASELINE.md);"
+                " kernel's 0.931 at the same pair (BENCH/BASELINE.md);"
                 " this table shows the secondary data-pipeline operators"
                 " also scale to their hardware-deliverable limit with no"
                 " plan-level serialization (identical row counts and"
