@@ -68,6 +68,8 @@ HEADLINE = [
     "multimodal_image_stats",
     "multimodal_audio_stats",
     "multimodal_video_frames",
+    "multimodal_png_stats",
+    "multimodal_wav_stats",
     "events_asof_join",
     "code_import_graph",
     "compaction_plan",

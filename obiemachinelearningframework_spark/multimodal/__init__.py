@@ -6,6 +6,8 @@ from .assets import (
     assets_from_documents,
     audio_assets_from_documents,
     video_assets_from_documents,
+    wav_assets_from_documents,
+    png_assets_from_documents,
 )
 from .decode import (
     decode_images,
@@ -28,5 +30,7 @@ __all__ = [
     "frame_sample",
     "frame_features",
     "audio_features",
+    "wav_assets_from_documents",
+    "png_assets_from_documents",
     "video_assets_from_documents",
 ]

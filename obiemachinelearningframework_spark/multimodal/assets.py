@@ -112,6 +112,48 @@ def encode_md5_video(asset_id: int, w: int = 8, h: int = 8, n_frames: int = 12) 
     )
 
 
+def encode_wav(asset_id: int, sample_rate: int = 8000, n: int = 400) -> bytes:
+    """REAL RIFF/WAVE container (PCM16 mono, the canonical 44-byte-header
+    layout plus chunk walking) around the SAME md5 sample stream as
+    encode_md5_audio — so the real-format ``wav`` codec path is verifiable
+    against the identical DuckDB oracle (queries.multimodal_wav_stats)."""
+    data = md5_bytes("a", asset_id, 2 * n)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_png(asset_id: int, w: int = 16, h: int = 12) -> bytes:
+    """REAL PNG (8-bit RGB, zlib-deflated scanlines, per-row filter 0,
+    CRC-checked chunks) of the SAME md5 pixel stream as encode_md5_image —
+    so the real-format ``png`` codec path is verifiable against the
+    identical DuckDB oracle (queries.multimodal_png_stats)."""
+    import zlib
+
+    px = md5_pixels(asset_id, w * h * 3)
+    raw = b"".join(
+        b"\x00" + px[y * w * 3:(y + 1) * w * 3] for y in range(h)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -235,6 +277,56 @@ def audio_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
                         {"width": None, "height": None, "channels": None,
                          "sample_rate": 8000, "n_samples": 400, "n_frames": None,
                          "codec": "raw-pcm16"}
+                    ] * len(rows),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def wav_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Real-format twin of audio_assets_from_documents: the SAME md5
+    sample stream wrapped in a genuine RIFF/WAVE container, decoded by the
+    real ``wav`` codec — same features, same oracle."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(int(i), bytearray(encode_wav(int(i)))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": ["audio"] * len(rows),
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {"width": None, "height": None, "channels": None,
+                         "sample_rate": 8000, "n_samples": 400, "n_frames": None,
+                         "codec": "wav"}
+                    ] * len(rows),
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def png_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Real-format twin of assets_from_documents: the SAME md5 pixel
+    stream compressed into a genuine PNG (zlib, CRC-checked chunks),
+    decoded by the real ``png`` codec — same features, same oracle."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(int(i), bytearray(encode_png(int(i)))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "kind": ["image"] * len(rows),
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {"width": 16, "height": 12, "channels": 3,
+                         "sample_rate": None, "n_samples": None,
+                         "n_frames": None, "codec": "png"}
                     ] * len(rows),
                 }
             )

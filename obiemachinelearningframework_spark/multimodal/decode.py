@@ -9,10 +9,14 @@ partitions small on the decode stage, repartition wider before it if
 payloads are large).
 
 Codec seam: ``DECODERS[codec]`` maps codec string -> bytes -> np.ndarray.
-The in-repo RAW codecs are complete; real formats raise a clearly-marked
-NotImplementedError until PIL/ffmpeg are provisioned (this container has
-neither) — the Spark plumbing around them is identical and is what the
-tests exercise.
+The in-repo RAW codecs are complete, and ``png`` (zlib inflate + all five
+scanline filters) and ``wav`` (RIFF chunk walk, PCM16) are REAL
+pure-stdlib decoders — oracle-verified end-to-end by
+queries.multimodal_png_stats / multimodal_wav_stats, which wrap the same
+md5-derived pixel/sample streams in genuine containers. ``jpeg``/``mp4``
+raise a clearly-marked NotImplementedError until PIL/ffmpeg are
+provisioned (this container has neither); the injection seam itself is
+contract-tested (test_codec_seam_accepts_third_party_decoder).
 """
 
 from __future__ import annotations
@@ -54,6 +58,92 @@ def _decode_raw_video(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[16:], dtype=np.uint8).reshape(n, h, w)
 
 
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/WAVE parser (pure stdlib): walks the chunk list (word-
+    aligned), reads ``fmt `` (PCM, 16-bit, mono) and ``data``. Same
+    return contract as the raw-pcm16 codec: (sample_rate, int16 array).
+    Handles extra chunks (LIST/INFO/fact) by skipping them, as a real
+    decoder must."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not RIFF/WAVE"
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if not (fmt_code == 1 and bits == 16 and n_ch == 1):
+                raise NotImplementedError(
+                    f"wav variant not supported: fmt={fmt_code} ch={n_ch} bits={bits}"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    assert rate is not None and data is not None, "missing fmt/data chunk"
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder (pure stdlib zlib + per-row unfiltering): 8-bit
+    grayscale/RGB/RGBA, all five scanline filters (None/Sub/Up/Average/
+    Paeth), no interlace. Returns (h, w, c) uint8 — the same contract as
+    the raw-img codec, so the whole image pipeline is codec-agnostic."""
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        size = struct.unpack(">I", payload[pos:pos + 4])[0]
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    assert ihdr is not None and idat, "missing IHDR/IDAT"
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+        raise NotImplementedError(
+            f"png variant not supported: depth={depth} interlace={inter}")
+    c = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if c is None:
+        raise NotImplementedError(f"png color type {ctype} not supported")
+    raw = zlib.decompress(idat)
+    stride = w * c
+    assert len(raw) == h * (stride + 1), "corrupt PNG scanline data"
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:      # Sub
+            for i in range(c, stride):
+                line[i] = (line[i] + line[i - c]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = line[i - c] if i >= c else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(h, w, c)
+
+
 def _unimplemented(codec):
     def fail(_payload):
         raise NotImplementedError(
@@ -67,9 +157,9 @@ DECODERS = {
     "raw-img": _decode_raw_image,
     "raw-pcm16": _decode_raw_audio,
     "raw-vid": _decode_raw_video,
+    "png": _decode_png,      # real codec, pure stdlib (zlib + unfilter)
+    "wav": _decode_wav,      # real codec, pure stdlib (RIFF chunk walk)
     "jpeg": _unimplemented("jpeg"),
-    "png": _unimplemented("png"),
-    "wav": _unimplemented("wav"),
     "mp4": _unimplemented("mp4"),
 }
 

@@ -733,6 +733,57 @@ QUERIES["multimodal_video_frames"] = q_multimodal_video_frames
 ORACLES["multimodal_video_frames"] = SQL_MULTIMODAL_VIDEO_FRAMES
 
 
+# ------------------- REAL-format codec paths (oracled), round 4
+# The png/wav codecs are genuine pure-stdlib decoders (zlib inflate +
+# all five PNG scanline filters; RIFF chunk walk + PCM16), not stubs.
+# Each query wraps the SAME md5-derived pixel/sample stream the raw-path
+# queries use into a real container, runs the real decoder through the
+# identical Arrow-batched pipeline, and must land on the SAME DuckDB
+# oracle values — a full-stack proof that container parsing, inflation,
+# unfiltering, and the downstream feature kernels compose correctly.
+
+def q_multimodal_png_stats(spark, sf_dir):
+    """Image-stats rollup through the REAL PNG decoder
+    (multimodal/decode._decode_png). Oracle identical to
+    multimodal_image_stats by construction: decoding the PNG of the md5
+    pixel stream must reproduce the md5 pixel stream."""
+    from .multimodal import decode_images, image_features, png_assets_from_documents
+
+    assets = png_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = image_features(decode_images(assets))
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
+def q_multimodal_wav_stats(spark, sf_dir):
+    """Audio-stats rollup through the REAL WAV decoder
+    (multimodal/decode._decode_wav). Oracle identical to
+    multimodal_audio_stats by construction."""
+    from .multimodal import wav_assets_from_documents
+    from .multimodal.decode import audio_features
+
+    assets = wav_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = audio_features(assets)
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+        )
+    )
+
+
+QUERIES["multimodal_png_stats"] = q_multimodal_png_stats
+ORACLES["multimodal_png_stats"] = SQL_MULTIMODAL_IMAGE_STATS
+QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
+ORACLES["multimodal_wav_stats"] = SQL_MULTIMODAL_AUDIO_STATS
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):
@@ -8865,7 +8916,8 @@ _CHEAP_FIRST = [
     'code_license_compat', 'range_split_points', 'kg_pmi',
     'ann_topk_ivf', 'minhash_signature', 'doc_tfidf_topk',
     'lang_id', 'eval_per_slot_prf', 'kg_type_violations',
-    'quality_score', 'multimodal_audio_stats', 'code_import_cycles',
+    'quality_score', 'multimodal_audio_stats', 'multimodal_wav_stats',
+    'multimodal_png_stats', 'code_import_cycles',
     'sample_mixture', 'kg_triple_support', 'kg_scd2',
     'collocations_llr', 'profile_lineitem', 'distinct_hll',
     'kg_negative_sampling', 'clone_pairs_winnow', 'cosine_topk',

@@ -195,3 +195,94 @@ def test_codec_seam_accepts_third_party_decoder(spark):
         )
 
         DECODERS["jpeg"] = _unimplemented("jpeg")
+
+
+def test_real_wav_decoder_matches_raw():
+    """The REAL RIFF/WAVE parser must recover exactly the raw-pcm16
+    samples (same md5 stream, different container), including when extra
+    chunks (LIST) precede the data chunk."""
+    import struct
+
+    from obiemachinelearningframework_spark.multimodal.assets import (
+        encode_md5_audio,
+        encode_wav,
+    )
+    from obiemachinelearningframework_spark.multimodal.decode import (
+        _decode_raw_audio,
+        _decode_wav,
+    )
+
+    rate_a, pcm_a = _decode_raw_audio(encode_md5_audio(42))
+    rate_w, pcm_w = _decode_wav(encode_wav(42))
+    assert rate_a == rate_w == 8000
+    assert np.array_equal(pcm_a, pcm_w)
+
+    # chunk-walking: inject a LIST chunk (odd size -> word-aligned skip)
+    wav = bytearray(encode_wav(7))
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    rate_p, pcm_p = _decode_wav(bytes(patched))
+    assert rate_p == 8000 and np.array_equal(pcm_p, _decode_wav(bytes(wav))[1])
+
+
+def test_real_png_decoder_all_filters():
+    """The REAL PNG decoder must invert every scanline filter the spec
+    defines (None/Sub/Up/Average/Paeth). Build a PNG whose rows cycle
+    through all five filters by applying the ENCODE direction per row,
+    then assert bit-exact pixel recovery."""
+    import struct
+    import zlib
+
+    from obiemachinelearningframework_spark.multimodal.assets import (
+        encode_png,
+        md5_pixels,
+    )
+    from obiemachinelearningframework_spark.multimodal.decode import _decode_png
+
+    # the filter-0 encoder round-trips the md5 stream
+    w, h = 16, 12
+    arr = _decode_png(encode_png(99, w, h))
+    assert arr.shape == (h, w, 3)
+    assert arr.tobytes() == md5_pixels(99, w * h * 3)
+
+    # hand-filtered PNG: rows use filters 0..4 cycling
+    rng = np.random.RandomState(3)
+    c = 3
+    img = rng.randint(0, 256, size=(5, 4, c), dtype=np.uint8)
+    stride = 4 * c
+    raw = b""
+    prev = bytes(stride)
+    for y in range(5):
+        f = y % 5
+        line = img[y].tobytes()
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            else:
+                pred = 0
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got = _decode_png(png)
+    assert np.array_equal(got, img)
