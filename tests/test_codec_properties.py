@@ -1,0 +1,90 @@
+"""Property tests for the real PNG/WAV codecs (pure stdlib decoders in
+multimodal/decode.py): random image content, random per-row filter
+choices, random audio lengths — decode must invert encode bit-exactly.
+Driverless (no SparkSession): these pin the codec kernels themselves;
+the Spark plumbing is pinned by test_multimodal + the DuckDB oracles."""
+
+import struct
+import zlib
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from obiemachinelearningframework_spark.multimodal.assets import encode_wav
+from obiemachinelearningframework_spark.multimodal.decode import (
+    _decode_png,
+    _decode_wav,
+)
+
+
+def _png_with_filters(img: np.ndarray, filters: list) -> bytes:
+    """Encode (h, w, c) uint8 as a PNG using the GIVEN per-row filter
+    types (the encode direction of the five spec filters)."""
+    h, w, c = img.shape
+    stride = w * c
+    raw = b""
+    prev = bytes(stride)
+    for y in range(h):
+        f = filters[y]
+        line = img[y].tobytes()
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            else:
+                pred = 0
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_any_filters(w, h, c, seed, data):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    filters = data.draw(st.lists(
+        st.integers(0, 4), min_size=h, max_size=h))
+    got = _decode_png(_png_with_filters(img, filters))
+    assert got.shape == (h, w, c)
+    assert np.array_equal(got, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    asset_id=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 700),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_any_length(asset_id, n, rate):
+    from obiemachinelearningframework_spark.multimodal.assets import md5_bytes
+
+    got_rate, pcm = _decode_wav(encode_wav(asset_id, sample_rate=rate, n=n))
+    assert got_rate == rate and len(pcm) == n
+    assert pcm.tobytes() == md5_bytes("a", asset_id, 2 * n)
