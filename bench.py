@@ -70,6 +70,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_png_stats",
     "multimodal_wav_stats",
+    "multimodal_dedup_exact",
     "events_asof_join",
     "code_import_graph",
     "compaction_plan",

@@ -784,6 +784,61 @@ QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
 ORACLES["multimodal_wav_stats"] = SQL_MULTIMODAL_AUDIO_STATS
 
 
+def q_multimodal_dedup_exact(spark, sf_dir):
+    """Cross-container content-addressed dedup — the multimodal twin of
+    dedup_exact and a real curation task: the SAME logical image stored
+    under two different containers (RAW and genuine zlib-compressed PNG)
+    must collapse to ONE content group after decode. Content key =
+    sha256 over the decoded pixel buffer's lowercase hex (hex because
+    the DuckDB oracle's sha256 only hashes VARCHAR); dedup is a plain
+    hash groupBy on the key — scale-identical to dedup_exact. Every
+    group must have exactly n_codecs = 2 members (RAW + PNG), which the
+    oracle asserts by CONSTRUCTION (it derives the key once per doc from
+    the md5 pixel recipe and emits the expected group row)."""
+    from .multimodal import (
+        assets_from_documents,
+        decode_images,
+        png_assets_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir)
+    both = assets_from_documents(docs, seed=7).unionByName(
+        png_assets_from_documents(docs, seed=7)
+    )
+    dec = decode_images(both)
+    keyed = dec.select(
+        "asset_id",
+        F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("content_sha"),
+    )
+    return (
+        keyed.groupBy("content_sha")
+        .agg(
+            F.min("asset_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# content key of doc d = sha256(lowercase-hex of its 576 md5 pixel bytes)
+# = sha256(concat of the 36 md5 hex digests) — the RAW and PNG containers
+# both decode to exactly that byte stream, so every group has 2 members
+SQL_MULTIMODAL_DEDUP_EXACT = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  hx AS (SELECT asset_id,
+                string_agg(md5(CAST(asset_id AS VARCHAR) || ':'
+                               || CAST(blk AS VARCHAR)), '' ORDER BY blk)
+                AS hexes
+         FROM (SELECT asset_id, unnest(range(0, 36)) AS blk FROM ids)
+         GROUP BY asset_id)
+  SELECT sha256(hexes) AS content_sha, asset_id AS canonical_id,
+         CAST(2 AS BIGINT) AS n_copies
+  FROM hx
+"""
+
+QUERIES["multimodal_dedup_exact"] = q_multimodal_dedup_exact
+ORACLES["multimodal_dedup_exact"] = SQL_MULTIMODAL_DEDUP_EXACT
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):
@@ -8917,7 +8972,7 @@ _CHEAP_FIRST = [
     'ann_topk_ivf', 'minhash_signature', 'doc_tfidf_topk',
     'lang_id', 'eval_per_slot_prf', 'kg_type_violations',
     'quality_score', 'multimodal_audio_stats', 'multimodal_wav_stats',
-    'multimodal_png_stats', 'code_import_cycles',
+    'multimodal_png_stats', 'multimodal_dedup_exact', 'code_import_cycles',
     'sample_mixture', 'kg_triple_support', 'kg_scd2',
     'collocations_llr', 'profile_lineitem', 'distinct_hll',
     'kg_negative_sampling', 'clone_pairs_winnow', 'cosine_topk',
