@@ -207,128 +207,72 @@ def synthesize_assets(spark: SparkSession, n: int = 96, seed: int = 7,
     return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
-def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
-    """Derive an image-asset table 1:1 from a documents table — payload is a
-    deterministic function of doc_id, so any sf_dir yields the same assets
-    on every engine/run. Demonstrates binary-column derivation from an
-    existing corpus (the 'render the doc' pattern). Pixels come from the
-    md5 byte stream (not the numpy RNG) so the decoded brightness stats
-    are verifiable by the DuckDB oracle."""
+def _derived_assets(docs: DataFrame, encode_fn, kind: str, meta: dict) -> DataFrame:
+    """One generator for every derive-an-asset-per-document builder
+    (code-review r4: five copy-pasted mapInPandas scaffolds differing only
+    in encoder/kind/meta). Payloads are a deterministic function of
+    doc_id, so any sf_dir yields the same assets on every engine/run —
+    what makes the decoded statistics DuckDB-verifiable."""
     ids = docs.select(F.col("doc_id").cast("long").alias("id"))
 
     def gen(batches):
         for pdf in batches:
-            rows = [(int(i), bytearray(encode_md5_image(int(i)))) for i in pdf["id"]]
+            rows = [(int(i), bytearray(encode_fn(int(i)))) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "asset_id": [r[0] for r in rows],
-                    "kind": ["image"] * len(rows),
+                    "kind": [kind] * len(rows),
                     "payload": [r[1] for r in rows],
-                    "meta": [
-                        {"width": 16, "height": 12, "channels": 3, "sample_rate": None,
-                         "n_samples": None, "n_frames": None, "codec": "raw-img"}
-                    ] * len(rows),
+                    "meta": [meta] * len(rows),
                 }
             )
 
     return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+_NO_META = {"width": None, "height": None, "channels": None,
+            "sample_rate": None, "n_samples": None, "n_frames": None}
+
+
+def assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Image-asset table 1:1 from a documents table (md5 pixel stream,
+    RAW container) — the 'render the doc' derivation pattern."""
+    return _derived_assets(
+        docs, encode_md5_image, "image",
+        {**_NO_META, "width": 16, "height": 12, "channels": 3,
+         "codec": "raw-img"})
 
 
 def video_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
-    """Video twin of assets_from_documents: one md5-frame RAW video per
-    document (stream key 'v', independent of the image/audio streams), so
-    the frame-sample decode path is also DuckDB-verifiable."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [(int(i), bytearray(encode_md5_video(int(i)))) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": [r[0] for r in rows],
-                    "kind": ["video"] * len(rows),
-                    "payload": [r[1] for r in rows],
-                    "meta": [
-                        {"width": 8, "height": 8, "channels": 1,
-                         "sample_rate": None, "n_samples": None, "n_frames": 12,
-                         "codec": "raw-vid"}
-                    ] * len(rows),
-                }
-            )
-
-    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+    """Video twin (stream key 'v', RAW container, 12 frames)."""
+    return _derived_assets(
+        docs, encode_md5_video, "video",
+        {**_NO_META, "width": 8, "height": 8, "channels": 1, "n_frames": 12,
+         "codec": "raw-vid"})
 
 
 def audio_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
-    """Audio twin of assets_from_documents: one md5-PCM16 asset per
-    document (independent byte stream from the image one), so the audio
-    decode path is also DuckDB-verifiable."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [(int(i), bytearray(encode_md5_audio(int(i)))) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": [r[0] for r in rows],
-                    "kind": ["audio"] * len(rows),
-                    "payload": [r[1] for r in rows],
-                    "meta": [
-                        {"width": None, "height": None, "channels": None,
-                         "sample_rate": 8000, "n_samples": 400, "n_frames": None,
-                         "codec": "raw-pcm16"}
-                    ] * len(rows),
-                }
-            )
-
-    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+    """Audio twin (stream key 'a', RAW PCM16 container)."""
+    return _derived_assets(
+        docs, encode_md5_audio, "audio",
+        {**_NO_META, "sample_rate": 8000, "n_samples": 400,
+         "codec": "raw-pcm16"})
 
 
 def wav_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
     """Real-format twin of audio_assets_from_documents: the SAME md5
-    sample stream wrapped in a genuine RIFF/WAVE container, decoded by the
-    real ``wav`` codec — same features, same oracle."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [(int(i), bytearray(encode_wav(int(i)))) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": [r[0] for r in rows],
-                    "kind": ["audio"] * len(rows),
-                    "payload": [r[1] for r in rows],
-                    "meta": [
-                        {"width": None, "height": None, "channels": None,
-                         "sample_rate": 8000, "n_samples": 400, "n_frames": None,
-                         "codec": "wav"}
-                    ] * len(rows),
-                }
-            )
-
-    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+    sample stream in a genuine RIFF/WAVE container -> the real ``wav``
+    codec, same features, same oracle."""
+    return _derived_assets(
+        docs, encode_wav, "audio",
+        {**_NO_META, "sample_rate": 8000, "n_samples": 400, "codec": "wav"})
 
 
 def png_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
     """Real-format twin of assets_from_documents: the SAME md5 pixel
-    stream compressed into a genuine PNG (zlib, CRC-checked chunks),
-    decoded by the real ``png`` codec — same features, same oracle."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [(int(i), bytearray(encode_png(int(i)))) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": [r[0] for r in rows],
-                    "kind": ["image"] * len(rows),
-                    "payload": [r[1] for r in rows],
-                    "meta": [
-                        {"width": 16, "height": 12, "channels": 3,
-                         "sample_rate": None, "n_samples": None,
-                         "n_frames": None, "codec": "png"}
-                    ] * len(rows),
-                }
-            )
-
-    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+    stream in a genuine PNG -> the real ``png`` codec, same features,
+    same oracle."""
+    return _derived_assets(
+        docs, encode_png, "image",
+        {**_NO_META, "width": 16, "height": 12, "channels": 3,
+         "codec": "png"})

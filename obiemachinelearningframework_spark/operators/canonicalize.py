@@ -62,7 +62,12 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     ``driver_max`` edges short-circuit to a driver union-find (bounded
     take() gate); larger graphs run the distributed pointer-jumping loop."""
     if driver_max > 0:
-        head = edges.select("src", "dst").take(driver_max + 1)
+        # lazy checkpoint BEFORE the gate: the take() that sizes the graph
+        # materializes partitions into the block manager, so the big-graph
+        # branch reuses them instead of re-running the (often expensive)
+        # edge derivation a second time (code-review r4)
+        edges = edges.select("src", "dst").localCheckpoint(eager=False)
+        head = edges.take(driver_max + 1)
         if len(head) <= driver_max:
             spark = edges.sparkSession
             id_type = edges.schema["src"].dataType.simpleString()

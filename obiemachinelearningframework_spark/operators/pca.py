@@ -46,8 +46,19 @@ def _round_half_away(x: "np.ndarray") -> "np.ndarray":
     """Half-away-from-zero rounding — matches Spark F.round (HALF_UP on
     BigDecimal = away from zero) and DuckDB round(), unlike np.rint
     (half-to-even). Pinned so Gram entries are bit-identical across the
-    numpy, Spark-SQL, and DuckDB-oracle computations of the same value."""
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    numpy, Spark-SQL, and DuckDB-oracle computations of the same value.
+
+    Implemented via an EXACT fractional-part comparison, not floor(x+0.5):
+    adding 0.5 can round up in binary before floor sees it (e.g.
+    x = 0.49999999999999994, the largest double below 0.5, has
+    x + 0.5 == 1.0 exactly), which would diverge from the BigDecimal
+    engines. For |x| < 2^52, floor(|x|) and |x| share an ulp grid, so
+    |x| - floor(|x|) is computed exactly and the >= 0.5 test is the true
+    decimal comparison."""
+    a = np.abs(x)
+    f = np.floor(a)
+    r = np.where(a - f >= 0.5, f + 1.0, f)
+    return np.copysign(r, x)
 
 
 def gram_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

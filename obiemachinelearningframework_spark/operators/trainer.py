@@ -209,6 +209,21 @@ def train_weights(
     return pd.concat([out, pd.DataFrame(th_rows, columns=["feature", "weight"])], ignore_index=True)
 
 
+_SCRATCH: list = []  # [path] — one process-lifetime dir, cleaned at exit
+
+
+def _default_scratch() -> str:
+    if not _SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="obie_libsvm_")
+        atexit.register(shutil.rmtree, d, True)
+        _SCRATCH.append(d)
+    return _SCRATCH[0]
+
+
 def _libsvm_roundtrip(lines: DataFrame, m: int, scratch_dir: str | None) -> DataFrame:
     """One-column (``line``) libsvm-format text -> (label double,
     features VectorUDT) with ZERO Python: the lines are written as text
@@ -219,13 +234,15 @@ def _libsvm_roundtrip(lines: DataFrame, m: int, scratch_dir: str | None) -> Data
 
     ``scratch_dir`` must be a filesystem both driver and executors can
     reach — the default driver-local tempdir is correct on local[*];
-    on a multi-node cluster pass a shared URI (or set OBIE_SCRATCH_DIR)."""
+    on a multi-node cluster pass a shared URI (or set OBIE_SCRATCH_DIR).
+    The default tempdir is created ONCE per process and removed at exit
+    (code-review r4: a fresh mkdtemp per call leaked a training-set-sized
+    text materialization on every fit/score)."""
     import os
-    import tempfile
     import uuid
 
     scratch = scratch_dir or os.environ.get("OBIE_SCRATCH_DIR")
-    base = scratch or tempfile.mkdtemp(prefix="obie_libsvm_")
+    base = scratch or _default_scratch()
     path = os.path.join(base, f"vecs_{uuid.uuid4().hex[:12]}")
     lines.write.mode("overwrite").text(path)
     return (

@@ -55,7 +55,15 @@ _SHARED: dict = {}
 
 
 def _shared_cache(spark: SparkSession, sf_dir: str, key: str, builder):
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped sessions (their DataFrames are dead
+    # weight and cannot be unpersisted anymore) so the memo stays bounded
+    # by the live session's (sf_dir, key) combinations
+    for k in [k for k in _SHARED if k[0] != app]:
+        _SHARED.pop(k, None)
+    for k in [k for k in _EMB_COUNTS if k[0] != app]:
+        _EMB_COUNTS.pop(k, None)
+    k = (app, sf_dir, key)
     df = _SHARED.get(k)
     if df is None:
         df = builder().cache()
@@ -1545,6 +1553,29 @@ def _ann_table_codes(col, bits: int = ANN_BITS):
     return codes(col)
 
 
+def _ann_buckets(spark, sf_dir):
+    """(vec_id, t, bucket) LSH table codes, session-cached: the cos
+    kernel, the index-health gauge, and any multi-consumer report read
+    the same bucket table instead of re-running the codes UDF
+    (code-review r4). Table codes via ONE vectorized pandas UDF:
+    projections = V @ W.T (a numpy matmul per Arrow batch; W re-derived
+    from the same md5(p:d) recipe as the SQL oracle, computed once per
+    executor per dim). Geometry sized to the corpus (_ann_bits_for):
+    == the oracle's static 10 bits at fixture scale."""
+    def build():
+        emb0 = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        bits = _ann_bits_for(_emb_count(spark, sf_dir))
+        return emb0.select(
+            "vec_id", F.explode(_ann_table_codes("vec", bits)).alias("tb")
+        ).select(
+            "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+        )
+
+    return _shared_cache(spark, sf_dir, "ann_buckets", build)
+
+
 def _ann_bucketed_cos(spark, sf_dir):
     """Shared kernel of the LSH-bucketed similarity family: MULTI-TABLE
     random-hyperplane LSH — ANN_TABLES independent tables of ANN_BITS
@@ -1553,21 +1584,19 @@ def _ann_bucketed_cos(spark, sf_dir):
     members. Exact cosine on admitted pairs only, computed with array ops
     (zip_with + aggregate) — the explode-join form multiplies the pair
     table by the embedding dimension before shuffling it. Returns
-    (qid, nid, cos) with qid != nid (both directions present)."""
+    (qid, nid, cos) with qid != nid (both directions present).
+    Session-cached (admitted-pairs-sized): ann_topk_bucketed,
+    dedup_embedding, cosine_pairs_threshold, and the recall report's
+    gauge all start from the same pair table."""
+    return _shared_cache(
+        spark, sf_dir, "ann_cos", lambda: _ann_bucketed_cos_build(spark, sf_dir))
+
+
+def _ann_bucketed_cos_build(spark, sf_dir):
     emb0 = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # table codes via ONE vectorized pandas UDF: projections = V @ W.T (a
-    # numpy matmul per Arrow batch; W re-derived from the same md5(p:d)
-    # recipe as the SQL oracle, computed once per executor per dim). The
-    # expression form exploded dim x planes rows per vector and ran two
-    # md5() per row — 20M JVM hash calls at sf0.1 for what is a
-    # (n x d) @ (d x 80) product. Geometry sized to the corpus
-    # (_ann_bits_for): == the oracle's static 10 bits at fixture scale.
-    bits = _ann_bits_for(_emb_count(spark, sf_dir))
-    bucket = emb0.select(
-        "vec_id", F.explode(_ann_table_codes("vec", bits)).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    bucket = _ann_buckets(spark, sf_dir)
     # per-(table, bucket) member gather -> intra-bucket directed pairs via
     # array ops; one groupBy instead of a self-join. Hot buckets are
     # SAMPLED (deterministic md5-order cap), not dropped: dropping them
@@ -2860,13 +2889,9 @@ def _ann_index_gauge(spark, sf_dir):
     and the geometry in force. At healthy geometry (cap * 2^bits >= n,
     which _ann_bits_for maintains as the corpus grows) the sampled
     fraction stays near 0 and the admission rate stays O(L / 2^bits)."""
-    emb0 = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
+    emb0 = _emb(spark, sf_dir).select("vec_id")
     bits = _ann_bits_for(_emb_count(spark, sf_dir))
-    bucket = emb0.select(
-        "vec_id", F.explode(_ann_table_codes("vec", bits)).alias("tb")
-    ).select(F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    bucket = _ann_buckets(spark, sf_dir)
     frac = (
         bucket.groupBy("t", "bucket").agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)

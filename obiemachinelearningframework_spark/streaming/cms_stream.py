@@ -63,14 +63,18 @@ def batch_sketch(docs: DataFrame) -> DataFrame:
 def _run_id(checkpoint_dir: str) -> str:
     """Identity of the streaming checkpoint whose epoch counter the
     replay guard trusts. Epoch ids only grow WITHIN one checkpoint; if
-    the checkpoint is deleted or repointed while the state dir persists,
-    epochs restart at 0 and the bare `epoch <= applied` guard would
-    silently skip every new batch forever. Committing this identity with
-    the flip lets the guard detect that and fail loudly instead."""
-    import hashlib
+    the checkpoint is deleted (even at the SAME path) or repointed while
+    the state dir persists, epochs restart at 0 and the bare
+    `epoch <= applied` guard would silently skip every new batch forever.
+    The identity is therefore the UNIQUE QUERY ID Structured Streaming
+    writes into the checkpoint's own ``metadata`` file at start — a
+    recreated checkpoint gets a fresh id even at the old path, so the
+    guard fails loudly in every restart-mismatch scenario. Read inside
+    foreachBatch (the metadata file exists once the stream has started)."""
+    import json
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        return json.load(f)["id"]
 
 
 def _read_commit(state_dir: str) -> tuple[str | None, int, str | None]:
@@ -164,12 +168,14 @@ def stream_cms(
     running CMS under ``state_dir``. Returns the StreamingQuery (drained
     when ``available_now``)."""
     os.makedirs(state_dir, exist_ok=True)
-    run = _run_id(checkpoint_dir)
     src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    # run identity resolves INSIDE foreachBatch: the checkpoint's metadata
+    # (and its unique query id) exists only once the stream has started
     writer = (
         src.writeStream
         .foreachBatch(
-            lambda batch, bid: _merge_batch(spark, batch, state_dir, bid, run))
+            lambda batch, bid: _merge_batch(
+                spark, batch, state_dir, bid, _run_id(checkpoint_dir)))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

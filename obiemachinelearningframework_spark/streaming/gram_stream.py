@@ -152,12 +152,13 @@ def stream_gram(
     """Vector files landing in ``input_dir`` -> continuously merged
     running Gram/mean/count state under ``state_dir``."""
     os.makedirs(state_dir, exist_ok=True)
-    run = _run_id(checkpoint_dir)
     src = spark.readStream.schema(VEC_SCHEMA).parquet(input_dir)
+    # run identity resolves INSIDE foreachBatch (see cms_stream._run_id)
     writer = (
         src.writeStream
         .foreachBatch(
-            lambda b, bid: _merge_batch(spark, b, state_dir, bid, run))
+            lambda b, bid: _merge_batch(
+                spark, b, state_dir, bid, _run_id(checkpoint_dir)))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -136,3 +136,26 @@ def test_merge_batch_rejects_foreign_checkpoint(spark, tmp_path):
     # fresh checkpoint (epochs restarted at 0) against the old state
     with pytest.raises(ValueError, match="different streaming checkpoint"):
         _merge_batch(spark, docs, state, epoch_id=0, run_id="runB")
+
+
+def test_recreated_checkpoint_at_same_path_rejected(spark, tmp_path):
+    """Code-review r4: a path-derived run identity misses the most common
+    failure — deleting and recreating the checkpoint at the SAME path.
+    The identity now comes from the checkpoint's own metadata query id,
+    so a fresh checkpoint at the old path must fail loudly against the
+    surviving state dir instead of silently skipping batches."""
+    import shutil
+
+    import pytest
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _write(spark, BATCH1, in_dir)
+    stream_cms(spark, in_dir, state, ck)
+    assert read_sketch(spark, state).count() > 0
+
+    shutil.rmtree(ck)                      # crash-cleanup of the checkpoint
+    _write(spark, BATCH2, in_dir)
+    with pytest.raises(Exception, match="different streaming checkpoint"):
+        stream_cms(spark, in_dir, state, ck)

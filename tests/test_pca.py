@@ -53,6 +53,23 @@ def test_rounding_convention_half_away(spark):
     assert got[(1, 1)] == 2 * 7813 * 7813
 
 
+def test_rounding_ulp_boundary_matches_decimal_engines():
+    """Code-review r4: floor(x+0.5) misrounds doubles within half an ulp
+    below a .5 boundary (x+0.5 rounds UP in binary before floor sees it).
+    The exact fractional-part comparison must agree with BigDecimal
+    engines: round(0.49999999999999994) == 0, both signs."""
+    import numpy as np
+
+    from obiemachinelearningframework_spark.operators.pca import (
+        _round_half_away,
+    )
+
+    x = np.array([0.49999999999999994, -0.49999999999999994])
+    assert np.floor(x[0] + 0.5) == 1.0          # the trap this guards
+    r = _round_half_away(x)
+    assert r[0] == 0.0 and r[1] == 0.0
+
+
 def test_gram_overflow_guard(spark):
     """The int64 accumulator refuses loudly instead of wrapping: one
     partition of huge-magnitude vectors trips the documented bound."""
