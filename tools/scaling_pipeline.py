@@ -274,14 +274,14 @@ def main() -> None:
                 f" (tools/machine_control.py, no Spark) delivers only"
                 f" **{ceiling:.3f}** efficiency from {lo} to {hi} workers"
                 " on this hypervisor-shared VM, so that — not 1.0 — is"
-                " the ceiling any job can reach here. The shuffle-bound"
-                " dedup plan lands within a few points of that ceiling;"
-                " the scan-bound funnel sits lower because tokenizing"
-                " via explode is memory-bandwidth-bound, which degrades"
-                " faster than pure compute as threads share one socket;"
-                " the join-bound iterative PageRank exercises the third"
-                " plan shape (repeated co-partitioned joins + keyed"
-                " aggregations over a hub-skewed graph)."
+                " the ceiling any job can reach here. The join-bound"
+                " iterative PageRank lands closest to that ceiling; the"
+                " shuffle-bound dedup and scan-bound funnel sit lower"
+                " because tokenizing/shingling via explode is"
+                " memory-bandwidth-bound, which degrades faster than"
+                " pure compute as threads share one socket — all three"
+                " plan shapes scale with no plan-level serialization"
+                " (identical result rows at both levels)."
                 " The PRIMARY gate evidence remains the extraction"
                 " kernel's 0.931 at the same pair (BENCH/BASELINE.md);"
                 " this table shows the secondary data-pipeline operators"
