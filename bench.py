@@ -71,6 +71,7 @@ HEADLINE = [
     "multimodal_png_stats",
     "multimodal_wav_stats",
     "multimodal_dedup_exact",
+    "multimodal_resize_stats",
     "events_asof_join",
     "code_import_graph",
     "compaction_plan",

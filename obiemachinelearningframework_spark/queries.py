@@ -847,6 +847,64 @@ QUERIES["multimodal_dedup_exact"] = q_multimodal_dedup_exact
 ORACLES["multimodal_dedup_exact"] = SQL_MULTIMODAL_DEDUP_EXACT
 
 
+def q_multimodal_resize_stats(spark, sf_dir):
+    """The RESIZE operator oracle-registered (it was pytest-only):
+    nearest-neighbor downsample 16x12 -> 4x3, then brightness per asset,
+    banded rollup. Nearest-neighbor picks pixels at rows r*12//3 and
+    cols c*16//4, so the resized brightness is the mean of 36 exactly
+    addressable bytes of the md5 pixel stream — SQL-recomputable like the
+    full-image stats."""
+    from .multimodal import (
+        assets_from_documents,
+        decode_images,
+        image_features,
+        resize_images,
+    )
+
+    assets = assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = image_features(resize_images(decode_images(assets), 4, 3))
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
+# resized pixel (r, c, ch) of the md5-pixel 16x12x3 image is byte
+# k = ((r*4)*16 + c*4)*3 + ch of the stream; byte k = hex pair (k % 16)
+# of md5('<asset_id>:<k // 16>')
+SQL_MULTIMODAL_RESIZE_STATS = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  combos AS (SELECT asset_id, r, c, ch
+             FROM ids,
+                  (SELECT unnest(range(0, 3)) AS r),
+                  (SELECT unnest(range(0, 4)) AS c),
+                  (SELECT unnest(range(0, 3)) AS ch)),
+  ks AS (SELECT asset_id,
+                CAST(((r * 4) * 16 + c * 4) * 3 + ch AS BIGINT) AS k
+         FROM combos),
+  hx AS (SELECT asset_id, k,
+                md5(CAST(asset_id AS VARCHAR) || ':'
+                    || CAST(CAST(floor(k / 16) AS BIGINT) AS VARCHAR)) AS h,
+                CAST(k % 16 AS INT) AS i
+         FROM ks),
+  vals AS (SELECT asset_id,
+                  (strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1) AS v
+           FROM hx),
+  bright AS (SELECT asset_id, round(avg(CAST(v AS DOUBLE)), 6) AS brightness
+             FROM vals GROUP BY asset_id)
+  SELECT asset_id % 16 AS band, count(*) AS n,
+         round(avg(brightness), 4) AS avg_brightness
+  FROM bright GROUP BY band
+"""
+
+QUERIES["multimodal_resize_stats"] = q_multimodal_resize_stats
+ORACLES["multimodal_resize_stats"] = SQL_MULTIMODAL_RESIZE_STATS
+
+
 # ------------------------------------------------- similarity search (ANN)
 
 def _emb(spark, sf_dir):
@@ -8997,7 +9055,7 @@ _CHEAP_FIRST = [
     'ann_topk_ivf', 'minhash_signature', 'doc_tfidf_topk',
     'lang_id', 'eval_per_slot_prf', 'kg_type_violations',
     'quality_score', 'multimodal_audio_stats', 'multimodal_wav_stats',
-    'multimodal_png_stats', 'multimodal_dedup_exact', 'code_import_cycles',
+    'multimodal_png_stats', 'multimodal_dedup_exact', 'multimodal_resize_stats', 'code_import_cycles',
     'sample_mixture', 'kg_triple_support', 'kg_scd2',
     'collocations_llr', 'profile_lineitem', 'distinct_hll',
     'kg_negative_sampling', 'clone_pairs_winnow', 'cosine_topk',
