@@ -70,6 +70,13 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         tag = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
+        # a declared size past EOF means a truncated/corrupt file; without
+        # this check the short slice decodes to a plausible-looking but
+        # WRONG sample count (ADVICE r4: fail loudly, don't guess)
+        if len(body) != size:
+            raise ValueError(
+                f"truncated WAV: chunk {tag!r} declares {size} bytes, "
+                f"{len(body)} remain")
         if tag == b"fmt ":
             fmt_code, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if not (fmt_code == 1 and bits == 16 and n_ch == 1):
@@ -96,13 +103,31 @@ def _decode_png(payload: bytes) -> np.ndarray:
         size = struct.unpack(">I", payload[pos:pos + 4])[0]
         tag = payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + size]
+        # truncation + bit-rot must raise, not decode to wrong pixels
+        # (ADVICE r4): a chunk body short of its declared length means the
+        # file was cut, and every chunk carries a CRC32 over tag+body that
+        # a real decoder verifies
+        if len(body) != size or pos + 12 + size > len(payload):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {size} bytes, "
+                f"{len(body)} remain")
+        crc = struct.unpack(">I", payload[pos + 8 + size:pos + 12 + size])[0]
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch on chunk {tag!r}")
         if tag == b"IHDR":
             ihdr = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
+            ended = True
             break
         pos += 12 + size  # len + tag + body + crc
+    else:
+        ended = False
+    if not ended:
+        # a stream that runs out before IEND was cut mid-file; the IDAT
+        # seen so far may be incomplete even if it inflates
+        raise ValueError("truncated PNG: no IEND chunk")
     assert ihdr is not None and idat, "missing IHDR/IDAT"
     w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or comp != 0 or filt != 0 or inter != 0:

@@ -61,17 +61,23 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     component = min id reachable. Deterministic. Graphs under
     ``driver_max`` edges short-circuit to a driver union-find (bounded
     take() gate); larger graphs run the distributed pointer-jumping loop."""
+    gated = None
     if driver_max > 0:
-        # lazy checkpoint BEFORE the gate: the take() that sizes the graph
-        # materializes partitions into the block manager, so the big-graph
-        # branch reuses them instead of re-running the (often expensive)
-        # edge derivation a second time (code-review r4)
-        edges = edges.select("src", "dst").localCheckpoint(eager=False)
+        # persist BEFORE the gate: the take() that sizes the graph
+        # materializes the partitions it scans into the block manager, so
+        # the big-graph branch reuses them instead of re-running the
+        # (often expensive) edge derivation a second time (code-review
+        # r4). persist/unpersist — not localCheckpoint — because BOTH
+        # branches must be able to release the blocks: the early-return
+        # small-graph branch previously pinned the checkpointed edges for
+        # the rest of the session (ADVICE r4).
+        gated = edges = edges.select("src", "dst").persist()
         head = edges.take(driver_max + 1)
         if len(head) <= driver_max:
             spark = edges.sparkSession
             id_type = edges.schema["src"].dataType.simpleString()
             rows = _driver_components(head)
+            edges.unpersist()
             return spark.createDataFrame(
                 rows or [], f"id {id_type}, component {id_type}")
     sym = (
@@ -79,6 +85,8 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()  # cut lineage: iterations must not re-derive edges
     )
+    if gated is not None:
+        gated.unpersist()  # sym is eagerly materialized; edges no longer needed
     nodes = sym.select(F.col("src").alias("id")).distinct()
     comp = nodes.withColumn("component", F.col("id")).localCheckpoint()
 

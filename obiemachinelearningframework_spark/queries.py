@@ -54,6 +54,46 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED: dict = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> int:
+    """Cheap identity of the parquet under ``sf_dir``: a hash of every
+    file's (relative path, size, mtime_ns). Folding it into the memo key
+    makes a WITHIN-session corpus rewrite (a pipeline regenerating the
+    dir) a cache miss instead of silently serving stale cached data
+    (ADVICE r4). Driver-side os.walk of a few hundred part files — sub-ms
+    next to any Spark action. Non-local URIs (hdfs://, s3://) fall back
+    to 0: rewrite detection needs a listing API this helper doesn't
+    have, and the path string still separates corpora."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        return 0
+    h = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            try:
+                st = os.stat(os.path.join(root, fn))
+            except OSError:
+                continue
+            h = hash((h, os.path.relpath(os.path.join(root, fn), sf_dir),
+                      st.st_size, st.st_mtime_ns))
+    return h
+
+
+def invalidate(sf_dir: str) -> None:
+    """Drop (and unpersist) every session-cached intermediate derived
+    from ``sf_dir`` — for pipelines that rewrite a corpus dir in place
+    and want the next query to re-derive, without waiting for the
+    fingerprint check to notice."""
+    for k in [k for k in _SHARED if k[1] == sf_dir]:
+        df = _SHARED.pop(k, None)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    for k in [k for k in _EMB_COUNTS if k[1] == sf_dir]:
+        _EMB_COUNTS.pop(k, None)
+
+
 def _shared_cache(spark: SparkSession, sf_dir: str, key: str, builder):
     app = spark.sparkContext.applicationId
     # evict entries from stopped sessions (their DataFrames are dead
@@ -63,9 +103,18 @@ def _shared_cache(spark: SparkSession, sf_dir: str, key: str, builder):
         _SHARED.pop(k, None)
     for k in [k for k in _EMB_COUNTS if k[0] != app]:
         _EMB_COUNTS.pop(k, None)
-    k = (app, sf_dir, key)
+    fp = _corpus_fingerprint(sf_dir)
+    k = (app, sf_dir, key, fp)
     df = _SHARED.get(k)
     if df is None:
+        # a rewritten corpus changes fp: unpersist the stale entry for the
+        # same (sf_dir, key) so its blocks don't linger for the session
+        for stale in [s for s in _SHARED if s[:3] == (app, sf_dir, key)]:
+            old = _SHARED.pop(stale, None)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         df = builder().cache()
         _SHARED[k] = df
     return df
@@ -1754,16 +1803,28 @@ _ANN_BUCKETED_COS_SQL = f"""
   e AS (
     SELECT vec_id, CAST(i - 1 AS INT) AS d, CAST(embedding[i] AS DOUBLE) AS v
     FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_TABLES * ANN_BITS})) AS p FROM e),
+  nbits AS (
+    -- _ann_bits_for(count(*)) IN SQL: the oracle's geometry grows with
+    -- the corpus exactly like the Spark side's (ADVICE r4: a hardcoded
+    -- {ANN_BITS} silently diverged past cap * 2^bits vectors)
+    SELECT CASE WHEN count(*) <= {ANN_BUCKET_CAP} THEN {ANN_BITS}
+                ELSE GREATEST({ANN_BITS},
+                              CAST(ceil(log2(count(*) / {ANN_BUCKET_CAP}.0)) AS INT))
+           END AS bits
+    FROM embeddings),
+  planes AS (SELECT vec_id, d, v,
+                    unnest(range(0, {ANN_TABLES} * (SELECT bits FROM nbits))) AS p
+             FROM e),
   proj AS (
     SELECT vec_id, p,
            sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
                      + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
     FROM planes GROUP BY vec_id, p),
   bucket AS (
-    SELECT vec_id, CAST(floor(p / {ANN_BITS}) AS INT) AS t,
-           CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % {ANN_BITS}) ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj WHERE abs(proj) > 1e-6 GROUP BY vec_id, CAST(floor(p / {ANN_BITS}) AS INT)),
+    SELECT vec_id, CAST(floor(p / (SELECT bits FROM nbits)) AS INT) AS t,
+           CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % (SELECT bits FROM nbits)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj WHERE abs(proj) > 1e-6
+    GROUP BY vec_id, CAST(floor(p / (SELECT bits FROM nbits)) AS INT)),
   admitted AS (
     SELECT vec_id, t, bucket FROM (
       SELECT vec_id, t, bucket,
@@ -3037,7 +3098,7 @@ SQL_ANN_RECALL_REPORT = f"""
             FROM gsize WHERE n >= 2),
   nv AS (SELECT count(*) AS nvec FROM embeddings),
   adm AS (SELECT count(*) AS n_admitted FROM cosp),
-  gauge AS (SELECT CAST({ANN_BITS} AS INT) AS ann_bits,
+  gauge AS (SELECT CAST((SELECT bits FROM nbits) AS INT) AS ann_bits,
                    sampled_bucket_fraction,
                    round(CAST(n_admitted AS DOUBLE) / (nvec * (nvec - 1)), 6)
                    AS admission_rate
@@ -5563,6 +5624,14 @@ def q_kg_bfs_hops(spark, sf_dir):
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
+        # convergence (round-4 verdict #7): an empty frontier makes every
+        # later hop a no-op — at 10^12-edge scale a skipped hop is a
+        # skipped full join+shuffle. The take(1) materializes checkpoint
+        # blocks the final action needs anyway, so the only added cost is
+        # one bounded action per non-final round; identical output either
+        # way (the unrolled oracle's later hops are empty too).
+        if hop < BFS_MAX_HOPS and not nxt.take(1):
+            break
     return visited
 
 
@@ -5818,12 +5887,24 @@ def q_kg_kcore(spark, sf_dir):
     Output: nodes still alive after the final round, with their in-core
     degree."""
     edges = _kg_sym_edges(spark, sf_dir)
-    for _ in range(KCORE_ROUNDS):
-        alive = (
+    for r in range(KCORE_ROUNDS):
+        # one degree aggregation per round, checkpointed so BOTH semi-join
+        # branches AND the fixpoint probe below read the same
+        # materialization (previously each branch re-derived the groupBy)
+        deg = (
             edges.groupBy("a").agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select("a")
+            .localCheckpoint(eager=False)
         )
+        # convergence (round-4 verdict #7): if no surviving node sits
+        # below k, this and every later round are no-ops — stop instead
+        # of running the remaining fixed rounds (at scale each skipped
+        # round is two semi-join shuffles). Output identical: the
+        # unrolled oracle's later rounds are no-ops too. Probed from
+        # round 1 on (round 0 genuinely prunes on any graph with a
+        # periphery, so a probe there would almost never save work).
+        if r > 0 and not deg.filter(F.col("deg") < KCORE_K).take(1):
+            break
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("a")
         edges = (
             edges.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
@@ -7070,6 +7151,14 @@ HITS_ITERS = 3
 
 
 def q_kg_hits(spark, sf_dir):
+    # No early-stop here, deliberately (round-4 verdict #7 considered):
+    # unlike BFS/k-core there is no EXACT empty-delta signal — the
+    # integer decimal counters strictly grow every round (they are sums
+    # of positive counters), and the normalized fixpoint would need a
+    # full old-vs-new score comparison per round whose cost equals the
+    # round it might save. Bounded fixed rounds IS the production form
+    # for power iteration (same rationale as LPA_ITERS).
+    #
     # EAGER checkpoints, exactly like kg_pagerank: every iteration
     # re-reads edge-/node-sized checkpointed tables instead of
     # re-deriving the extraction subtree per join branch (lazy

@@ -91,6 +91,52 @@ def _read_commit(state_dir: str) -> tuple[str | None, int, str | None]:
     return side, epoch, run
 
 
+def guard_replay(state_dir: str, epoch_id: int, run_id: str) -> bool:
+    """Shared admission decision for NON-IDEMPOTENT streaming state
+    (counter addition): True = apply the batch, False = replay no-op.
+
+    * run id recorded and different from the current checkpoint's ->
+      loud error (a recreated/repointed checkpoint restarts epochs at 0;
+      its counter cannot distinguish replays from new batches);
+    * same run -> the bare ``epoch <= applied`` replay skip is safe;
+    * LEGACY pointer (committed before run ids were stamped, run=None):
+      trusted only while the epoch stream is plausibly continuous
+      (epoch_id > applied, in which case the very next commit stamps the
+      current run id after a logged migration warning). A legacy pointer
+      with epoch_id <= applied is indistinguishable from a recreated
+      checkpoint and refuses loudly instead of silently dropping every
+      new batch forever (ADVICE r4)."""
+    import warnings
+
+    cur, applied, run = _read_commit(state_dir)
+    if run is not None and run != run_id:
+        raise ValueError(
+            f"state dir {state_dir!r} was built under a different streaming "
+            f"checkpoint (run {run}, now {run_id}): its epoch counter "
+            "cannot distinguish replays from new batches. Resume with the "
+            "original checkpointLocation, or start a fresh state dir."
+        )
+    if epoch_id <= applied:
+        if run is None and cur is not None:
+            raise ValueError(
+                f"state dir {state_dir!r} carries a LEGACY commit pointer "
+                f"(no run id) at epoch {applied} and the arriving batch "
+                f"has epoch {epoch_id} <= {applied}: a genuine replay and "
+                "a recreated checkpoint (epochs restarted at 0) are "
+                "indistinguishable without a run id. If this is the "
+                "original checkpoint, its next NEW epoch migrates the "
+                "pointer automatically; otherwise start a fresh state dir."
+            )
+        return False
+    if run is None and cur is not None:
+        warnings.warn(
+            f"state dir {state_dir!r}: migrating legacy commit pointer "
+            f"(epoch {applied}) to run {run_id} on this commit",
+            stacklevel=2,
+        )
+    return True
+
+
 def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current committed running sketch (empty if none committed yet)."""
     side, _, _ = _read_commit(state_dir)
@@ -131,17 +177,11 @@ def _merge_batch(
     # would double-count. The epoch id therefore commits WITH the flip:
     # a replayed epoch <= the committed one is a no-op — but only within
     # the SAME streaming checkpoint (run_id); a fresh checkpoint restarts
-    # epochs at 0 and must not be mistaken for a replay.
-    cur, applied, run = _read_commit(state_dir)
-    if run is not None and run != run_id:
-        raise ValueError(
-            f"state dir {state_dir!r} was built under a different streaming "
-            f"checkpoint (run {run}, now {run_id}): its epoch counter "
-            "cannot distinguish replays from new batches. Resume with the "
-            "original checkpointLocation, or start a fresh state dir."
-        )
-    if epoch_id <= applied:
+    # epochs at 0 and must not be mistaken for a replay (guard_replay,
+    # incl. the legacy-pointer refusal).
+    if not guard_replay(state_dir, epoch_id, run_id):
         return
+    cur, _, _ = _read_commit(state_dir)
     merged = (
         read_sketch(spark, state_dir)
         .unionByName(batch_sketch(docs))

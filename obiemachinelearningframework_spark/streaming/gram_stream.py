@@ -75,7 +75,7 @@ def batch_state(vecs: DataFrame) -> DataFrame:
 
 # commit-pointer discipline shared with cms_stream (same A/B flip, same
 # epoch+run-identity replay guard)
-from .cms_stream import _read_commit, _run_id  # noqa: E402
+from .cms_stream import _read_commit, _run_id, guard_replay  # noqa: E402
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -117,16 +117,9 @@ def _merge_batch(
     # guard only holds within one streaming checkpoint — a repointed
     # checkpoint restarts epochs at 0, so a run-identity mismatch is a
     # loud error, not a silent skip.
-    cur, applied, run = _read_commit(state_dir)
-    if run is not None and run != run_id:
-        raise ValueError(
-            f"state dir {state_dir!r} was built under a different streaming "
-            f"checkpoint (run {run}, now {run_id}): its epoch counter "
-            "cannot distinguish replays from new batches. Resume with the "
-            "original checkpointLocation, or start a fresh state dir."
-        )
-    if epoch_id <= applied:
+    if not guard_replay(state_dir, epoch_id, run_id):
         return
+    cur, _, _ = _read_commit(state_dir)
     merged = (
         read_state(spark, state_dir)
         .unionByName(batch_state(vecs))

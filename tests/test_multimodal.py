@@ -286,3 +286,30 @@ def test_real_png_decoder_all_filters():
            + chunk(b"IEND", b""))
     got = _decode_png(png)
     assert np.array_equal(got, img)
+
+
+def test_truncated_and_corrupt_containers_fail_loudly():
+    """ADVICE r4: a chunk whose declared size exceeds the remaining bytes
+    (truncation) or whose CRC does not match (bit-rot) must raise, not
+    decode to plausible-looking wrong features."""
+    import pytest
+
+    from obiemachinelearningframework_spark.multimodal.assets import (
+        encode_png, encode_wav,
+    )
+    from obiemachinelearningframework_spark.multimodal.decode import DECODERS
+
+    png, wav = encode_png(11), encode_wav(11)
+    assert DECODERS["png"](png).shape == (12, 16, 3)
+    assert DECODERS["wav"](wav)[1].shape == (400,)
+
+    for cut in (1, 8, 13, 40):
+        with pytest.raises(ValueError, match="truncated PNG"):
+            DECODERS["png"](png[:-cut])
+    with pytest.raises(ValueError, match="truncated WAV"):
+        DECODERS["wav"](wav[:-10])
+
+    flipped = bytearray(png)
+    flipped[60] ^= 0xFF        # inside a chunk body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        DECODERS["png"](bytes(flipped))
