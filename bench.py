@@ -72,6 +72,7 @@ HEADLINE = [
     "multimodal_wav_stats",
     "multimodal_dedup_exact",
     "multimodal_resize_stats",
+    "multimodal_jpeg_stats",
     "events_asof_join",
     "code_import_graph",
     "compaction_plan",

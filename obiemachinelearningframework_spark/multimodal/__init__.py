@@ -8,6 +8,7 @@ from .assets import (
     video_assets_from_documents,
     wav_assets_from_documents,
     png_assets_from_documents,
+    jpeg_assets_from_documents,
 )
 from .decode import (
     decode_images,
@@ -32,5 +33,6 @@ __all__ = [
     "audio_features",
     "wav_assets_from_documents",
     "png_assets_from_documents",
+    "jpeg_assets_from_documents",
     "video_assets_from_documents",
 ]

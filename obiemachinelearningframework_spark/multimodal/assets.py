@@ -154,6 +154,209 @@ def encode_png(asset_id: int, w: int = 16, h: int = 12) -> bytes:
     )
 
 
+# ------------------------------------------------------------- JPEG encoder
+# Pure-stdlib/numpy BASELINE-PROFILE JPEG (ITU T.81): FDCT + quantization
+# + zigzag + DC-difference coding + Huffman entropy coding with the
+# Annex-K-style luminance tables, wrapped in JFIF markers. Grayscale
+# (one component, no subsampling) — a legal baseline stream any decoder
+# accepts. The decoder (decode._decode_jpeg) reads the quant/Huffman
+# tables FROM the file, so encoder and decoder are self-consistent by
+# construction. Implements the public spec from scratch (same pattern as
+# the PNG/WAV codecs; the reference has no multimodal at all — this is
+# brief scope).
+
+JPEG_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+)
+
+
+def jpeg_zigzag() -> list:
+    """The 64 (row, col) positions in JPEG zigzag order, generated by the
+    canonical diagonal walk (no hand-typed table to mistype)."""
+    order, x, y = [], 0, 0
+    for _ in range(64):
+        order.append((y, x))
+        if (x + y) % 2 == 0:            # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:                           # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return order
+
+
+def _dct_basis() -> "np.ndarray":
+    """Orthonormal 8x8 DCT-II matrix A (A @ A.T = I): FDCT of a block s
+    is A @ s @ A.T, IDCT is A.T @ S @ A — exactly the T.81 definition."""
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return A
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) per the T.81 canonical code construction
+    (codes of each length assigned in huffval order, left-to-right)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple:
+    """(category, appended-bits value) for a DC diff / AC coefficient —
+    T.81 F.1.2.1: negatives encode as v - 1 in `category` bits."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def jpeg_encode_gray(pixels: "np.ndarray") -> bytes:
+    """(h, w) uint8 -> baseline JFIF bytes. Quant table all-ones (the
+    only loss is FDCT integer rounding, so flat 8x8 blocks round-trip
+    EXACTLY — what makes encode_jpeg oracle-able)."""
+    h, w = pixels.shape
+    assert h % 8 == 0 and w % 8 == 0, "pad to 8x8 blocks before encoding"
+    A = _dct_basis()
+    zz = jpeg_zigzag()
+    dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = pixels[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(np.float64) - 128.0
+            S = A @ blk @ A.T
+            q = np.rint(S).astype(np.int64)      # quant table = 1s
+            coef = [int(q[p]) for p in zz]
+            # DC difference
+            size, bits = _magnitude(coef[0] - prev_dc)
+            prev_dc = coef[0]
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
+            # AC run-lengths
+            run = 0
+            for v in coef[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]        # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                c, ln = ac_codes[(run << 4) | size]
+                bw.write(c, ln)
+                bw.write(bits, size)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]            # EOB
+                bw.write(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = bytes([0x00]) + bytes(64 * [1])          # table 0, 8-bit, all 1s
+    dht_dc = bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(JPEG_AC_BITS[1:]) + bytes(JPEG_AC_VALS)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"                                               # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, qt) + seg(0xC0, sof)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+        + seg(0xDA, sos) + scan
+        + b"\xff\xd9"                                             # EOI
+    )
+
+
+def jpeg_block_pixels(asset_id: int, w: int = 16, h: int = 16) -> "np.ndarray":
+    """(h, w) uint8 grayscale whose 8x8 BLOCKS are constant — block b's
+    value is byte b of the md5 stream keyed 'j<asset_id>:<blk>'. Flat
+    blocks make the lossy JPEG round-trip EXACT (only the DC coefficient
+    is nonzero and the all-ones quant table preserves it), so the decoded
+    statistics are recomputable from md5 hex digits by the DuckDB oracle
+    (queries.multimodal_jpeg_stats) — the same trick as the PNG/WAV
+    assets, adapted to a lossy codec."""
+    bw, bh = w // 8, h // 8
+    vals = md5_bytes("j", asset_id, bw * bh)
+    img = np.zeros((h, w), dtype=np.uint8)
+    for b, v in enumerate(vals):
+        y, x = divmod(b, bw)
+        img[y * 8:(y + 1) * 8, x * 8:(x + 1) * 8] = v
+    return img
+
+
+def encode_jpeg(asset_id: int, w: int = 16, h: int = 16) -> bytes:
+    """REAL baseline JPEG of the block-constant md5 pixel field — the
+    real-format lossy-codec twin of encode_png."""
+    return jpeg_encode_gray(jpeg_block_pixels(asset_id, w, h))
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -276,3 +479,14 @@ def png_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
         docs, encode_png, "image",
         {**_NO_META, "width": 16, "height": 12, "channels": 3,
          "codec": "png"})
+
+
+def jpeg_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """LOSSY-codec twin: genuine baseline JPEGs whose 8x8 blocks are
+    flat md5-derived values (stream key 'j') — flatness makes the lossy
+    round-trip exact, so the decoded statistics stay DuckDB-oracle-able
+    (queries.multimodal_jpeg_stats)."""
+    return _derived_assets(
+        docs, encode_jpeg, "image",
+        {**_NO_META, "width": 16, "height": 16, "channels": 1,
+         "codec": "jpeg"})

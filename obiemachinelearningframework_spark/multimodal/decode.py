@@ -169,6 +169,189 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL baseline-profile JPEG decoder (pure stdlib + numpy, ITU
+    T.81): marker walk (APP*/COM skipped with strict length checks), DQT
+    (8-bit tables), SOF0, DHT (canonical code reconstruction), SOS, then
+    Huffman entropy decode (byte unstuffing, DC difference + AC
+    run-length/EOB/ZRL), dequantization, de-zigzag, float IDCT, level
+    shift and clip. Supports 1–3 components with no chroma subsampling
+    (sampling factors 1x1; YCbCr->RGB for 3 components); progressive,
+    arithmetic, restart-interval and subsampled streams raise
+    NotImplementedError loudly. Tables are read FROM the stream, so any
+    legal baseline file with these shapes decodes — not just
+    assets.jpeg_encode_gray output. Returns (h, w, c) uint8."""
+    from .assets import _dct_basis, jpeg_zigzag
+
+    assert payload[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
+    pos = 2
+    qtables: dict = {}
+    huff: dict = {}          # (class, id) -> {(code, length): symbol}
+    frame = None
+    scan_comps = None
+    data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:               # EOI before SOS -> no image
+            break
+        size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError(
+                f"truncated JPEG: segment {marker:#x} declares {size - 2} "
+                f"bytes, {len(body)} remain")
+        if marker == 0xDB:               # DQT
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
+                b = b[65:]
+        elif marker == 0xC4:             # DHT
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17:17 + n])
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(code, length)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                b = b[17 + n:]
+        elif marker == 0xC0:             # SOF0 baseline
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError(f"precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        f"chroma subsampling (sampling factor {hv:#x})")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker {marker:#x})")
+        elif marker == 0xDD:             # DRI
+            if struct.unpack(">H", body)[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:             # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            data = payload[pos + 2 + size:]
+            break
+        pos += 2 + size
+    if frame is None or scan_comps is None or data is None:
+        raise ValueError("corrupt JPEG: missing SOF0/SOS")
+    h, w, comps = frame
+    nc = len(comps)
+    if nc not in (1, 3) or len(scan_comps) != nc:
+        raise NotImplementedError(f"{nc}-component scan")
+
+    # strip the entropy-coded segment: unstuff 0xFF00, stop at a marker
+    ecs = bytearray()
+    i, ended = 0, False
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else None
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                ended = True
+            break
+        ecs.append(b)
+        i += 1
+    if not ended:
+        raise ValueError("truncated JPEG: entropy stream ends without EOI")
+
+    class _Bits:
+        def __init__(self, buf):
+            self.buf, self.pos = buf, 0
+
+        def take(self, n):
+            v = 0
+            for _ in range(n):
+                byte = self.buf[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+            return v
+
+    def huff_decode(bits, table):
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | bits.take(1)
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+    def extend(v, size):
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    A = _dct_basis()
+    zz = jpeg_zigzag()
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((by * 8, bx * 8)) for _ in range(nc)]
+    bits = _Bits(bytes(ecs))
+    prev_dc = [0] * nc
+    # SOS table ids per component (dc table high nibble, ac low)
+    tsel = {cid: (t >> 4, t & 0x0F) for cid, t in scan_comps}
+    try:
+        for y in range(by):
+            for x in range(bx):
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = tsel[cid]
+                    coef = np.zeros(64, dtype=np.int64)
+                    size = huff_decode(bits, huff[(0, td)])
+                    diff = extend(bits.take(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    coef[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = huff_decode(bits, huff[(1, ta)])
+                        r, s = rs >> 4, rs & 0x0F
+                        if rs == 0x00:           # EOB
+                            break
+                        if rs == 0xF0:           # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC index overflow")
+                        coef[k] = extend(bits.take(s), s)
+                        k += 1
+                    S = np.zeros((8, 8))
+                    dq = coef * qtables[tq]
+                    for idx, (r_, c_) in enumerate(zz):
+                        S[r_, c_] = dq[idx]
+                    blk = A.T @ S @ A + 128.0
+                    planes[ci][y * 8:(y + 1) * 8, x * 8:(x + 1) * 8] = blk
+    except IndexError as e:
+        raise ValueError("truncated JPEG: entropy stream exhausted") from e
+    out = np.stack([p[:h, :w] for p in planes], axis=2)
+    if nc == 3:                                  # YCbCr (JFIF) -> RGB
+        ycc = out
+        yy, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+        out = np.stack(
+            [yy + 1.402 * cr,
+             yy - 0.344136 * cb - 0.714136 * cr,
+             yy + 1.772 * cb], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def _unimplemented(codec):
     def fail(_payload):
         raise NotImplementedError(
@@ -184,7 +367,7 @@ DECODERS = {
     "raw-vid": _decode_raw_video,
     "png": _decode_png,      # real codec, pure stdlib (zlib + unfilter)
     "wav": _decode_wav,      # real codec, pure stdlib (RIFF chunk walk)
-    "jpeg": _unimplemented("jpeg"),
+    "jpeg": _decode_jpeg,    # real codec, pure stdlib+numpy baseline T.81
     "mp4": _unimplemented("mp4"),
 }
 

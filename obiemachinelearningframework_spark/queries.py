@@ -835,10 +835,51 @@ def q_multimodal_wav_stats(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_stats(spark, sf_dir):
+    """Image-stats rollup through the REAL baseline JPEG decoder
+    (multimodal/decode._decode_jpeg: marker walk, Huffman entropy decode,
+    dequant, IDCT — round-4 verdict next-round #4). JPEG is lossy, so the
+    oracle trick differs from PNG/WAV: the assets' 8x8 blocks are FLAT
+    md5-derived values (assets.jpeg_block_pixels), for which the DCT
+    round-trip is exact (DC-only blocks, all-ones quant table) — decoding
+    the genuine JFIF container must reproduce the block values bit-exactly,
+    and the DuckDB oracle recomputes the same statistics from md5 hex
+    digits."""
+    from .multimodal import jpeg_assets_from_documents
+    from .multimodal.decode import decode_images, image_features
+
+    assets = jpeg_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = image_features(decode_images(assets))
+    return (
+        feats.groupBy((F.col("asset_id") % 16).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
+SQL_MULTIMODAL_JPEG_STATS = """
+  WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS asset_id FROM documents),
+  hx AS (SELECT asset_id, md5('j' || CAST(asset_id AS VARCHAR) || ':0') AS h FROM ids),
+  bytes AS (SELECT asset_id, h, unnest(range(0, 4)) AS i FROM hx),
+  vals AS (SELECT asset_id,
+                  (strpos('0123456789abcdef', substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+  bright AS (SELECT asset_id, round(avg(CAST(v AS DOUBLE)), 6) AS brightness
+             FROM vals GROUP BY asset_id)
+  SELECT asset_id % 16 AS band, count(*) AS n, round(avg(brightness), 4) AS avg_brightness
+  FROM bright GROUP BY band
+"""
+
+
 QUERIES["multimodal_png_stats"] = q_multimodal_png_stats
 ORACLES["multimodal_png_stats"] = SQL_MULTIMODAL_IMAGE_STATS
 QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
 ORACLES["multimodal_wav_stats"] = SQL_MULTIMODAL_AUDIO_STATS
+QUERIES["multimodal_jpeg_stats"] = q_multimodal_jpeg_stats
+ORACLES["multimodal_jpeg_stats"] = SQL_MULTIMODAL_JPEG_STATS
 
 
 def q_multimodal_dedup_exact(spark, sf_dir):

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql import types as T
 
 from ..operators.ivf import _cos_expr, train_codebook
+from .cms_stream import _run_id, assert_sink_run_identity
 
 __all__ = [
     "QUERY_SCHEMA",
@@ -128,6 +129,7 @@ def stream_ann_index_update(
     delta_dir = os.path.join(index_dir, "lists_delta")
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
+        assert_sink_run_identity(delta_dir, _run_id(checkpoint_dir))
         e = batch.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
@@ -236,6 +238,7 @@ def stream_ann_topk(
     lists = load_lists(spark, index_dir)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
+        assert_sink_run_identity(output_dir, _run_id(checkpoint_dir))
         (
             annotate_queries(batch, codebook, lists, k=k, nprobe=nprobe)
             .withColumn("batch_id", F.lit(int(epoch_id)))

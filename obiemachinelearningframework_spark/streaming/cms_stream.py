@@ -137,6 +137,49 @@ def guard_replay(state_dir: str, epoch_id: int, run_id: str) -> bool:
     return True
 
 
+def assert_sink_run_identity(out_dir: str, run_id: str) -> None:
+    """Run-identity guard for the PARTITION-OVERWRITE sinks
+    (``batch_id=<epoch>`` layout, round-4 verdict #8): those sinks are
+    idempotent against replays (a replayed epoch overwrites its own
+    partition) but NOT against a deleted-and-recreated checkpoint —
+    epochs restart at 0 and the new run's batches would silently CLOBBER
+    the old run's partitions with differently-bucketed data (availableNow
+    batch boundaries are not stable across runs). The sink therefore
+    stamps its owning streaming-run id (the checkpoint's metadata query
+    id, ``_run_id``) into the output dir on first write and refuses
+    loudly on a mismatch. Legacy dirs (partitions but no marker) are
+    stamped with a migration warning — unlike the counter sinks there is
+    no epoch continuity to check, and the stamp makes the NEXT mismatch
+    loud. The marker filename starts with ``_`` so parquet readers
+    ignore it."""
+    import warnings
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_STREAM_RUN_ID")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != run_id:
+            raise ValueError(
+                f"output dir {out_dir!r} was written by streaming run "
+                f"{prev} (now {run_id}): a recreated/repointed checkpoint "
+                "restarts epochs at 0 and would overwrite that run's "
+                "batch_id partitions. Clear the output dir or resume the "
+                "original checkpointLocation."
+            )
+        return
+    if any(n.startswith("batch_id=") for n in os.listdir(out_dir)):
+        warnings.warn(
+            f"output dir {out_dir!r}: stamping pre-existing batch_id "
+            f"partitions with streaming run {run_id}",
+            stacklevel=2,
+        )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(run_id)
+    os.replace(tmp, marker)
+
+
 def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current committed running sketch (empty if none committed yet)."""
     side, _, _ = _read_commit(state_dir)

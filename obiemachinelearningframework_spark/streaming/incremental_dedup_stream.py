@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..queries import INCR_EST_MIN, MAX_BUCKET_DOCS, N_MINHASH
 from .dedup_stream import DOC_SCHEMA
+from .cms_stream import _run_id, assert_sink_run_identity
 
 __all__ = [
     "doc_signatures",
@@ -177,6 +178,7 @@ def stream_dedup_incremental(
     ref_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
+        assert_sink_run_identity(output_dir, _run_id(checkpoint_dir))
         (
             annotate_batch(batch, ref_sigs, ref_bands)
             .withColumn("batch_id", F.lit(int(epoch_id)))

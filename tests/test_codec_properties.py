@@ -88,3 +88,58 @@ def test_wav_roundtrip_any_length(asset_id, n, rate):
     got_rate, pcm = _decode_wav(encode_wav(asset_id, sample_rate=rate, n=n))
     assert got_rate == rate and len(pcm) == n
     assert pcm.tobytes() == md5_bytes("a", asset_id, 2 * n)
+
+
+# ------------------------------------------------------------------ JPEG
+
+from obiemachinelearningframework_spark.multimodal.assets import (  # noqa: E402
+    encode_jpeg,
+    jpeg_block_pixels,
+    jpeg_encode_gray,
+)
+from obiemachinelearningframework_spark.multimodal.decode import _decode_jpeg  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_bounded_error(bw, bh, seed):
+    """Arbitrary gray content through the REAL baseline encoder+decoder:
+    with the all-ones quant table the only loss is FDCT integer rounding,
+    so every pixel must come back within a small bound (measured <= 1;
+    asserted <= 2 for slack against cos-term rounding)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(bh * 8, bw * 8), dtype=np.uint8)
+    dec = _decode_jpeg(jpeg_encode_gray(px))
+    assert dec.shape == (bh * 8, bw * 8, 1)
+    assert np.abs(dec[..., 0].astype(int) - px.astype(int)).max() <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(asset_id=st.integers(min_value=0, max_value=10_000))
+def test_jpeg_flat_blocks_roundtrip_exactly(asset_id):
+    """The oracle contract: flat 8x8 blocks are DC-only, and DC survives
+    the all-ones quant table bit-exactly — decode(encode(x)) == x, which
+    is what lets a LOSSY codec keep the identical DuckDB oracle."""
+    img = jpeg_block_pixels(asset_id)
+    dec = _decode_jpeg(encode_jpeg(asset_id))
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_jpeg_truncation_and_unsupported_fail_loudly():
+    import pytest
+
+    enc = encode_jpeg(3)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        _decode_jpeg(enc[:-4])
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        _decode_jpeg(enc[: len(enc) // 2])
+    # progressive SOF2 must refuse, not mis-decode
+    prog = bytearray(enc)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        _decode_jpeg(bytes(prog))
