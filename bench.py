@@ -143,6 +143,40 @@ HEADLINE = [
     "kg_degree_distribution",
 ]
 
+# queries whose in-harness time is subsidized by the session-scoped
+# intermediate caches (queries._SHARED: the ANN bucket/pair tables, the
+# LPA community table, tokens/KG/embeddings). The harness regime is the
+# honest production shape — a pipeline run materializes these shared
+# intermediates once — but a single ad-hoc query pays the full derivation,
+# so BENCH reports BOTH: the headline loop times the warm regime, and a
+# second pass (queries_cold) re-times each of these after dropping every
+# session cache (round-4 verdict next-round #5).
+COLD_FAMILY = [
+    "ann_lsh_buckets",
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_recall_report",
+    "ann_sq_recall",
+    "ann_prefix_recall",
+    "dedup_embedding",
+    "dedup_semantic",
+    "kg_label_propagation",
+    "kg_community_conductance",
+]
+
+
+def _clear_session_caches(Q) -> None:
+    """Same cache-drop as tools/scaling_pipeline.py's between-pass clear."""
+    for df in list(Q._SHARED.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    Q._SHARED.clear()
+    Q._EMB_COUNTS.clear()
+
+
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))
 OBIE_TRAIN_DOCS = int(os.environ.get("OBIE_TRAIN_DOCS", "60"))
 
@@ -264,6 +298,19 @@ def main() -> None:
             if name == "triples_kg":
                 triple_count = n
 
+    cold: dict[str, float] = {}
+    if not scaling_only and os.environ.get("OBIE_COLD_PASS", "1") == "1":
+        for name in COLD_FAMILY:
+            fn = Q.QUERIES[name]
+            best = None
+            for _ in range(reps):
+                _clear_session_caches(Q)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            cold[name] = round(best, 3)
+
     if not scaling_only:
         os.environ.setdefault("OBIE_EXTRACT_REPS", str(reps))
     obie_triples, extract_s, fit_s, rel_s = run_obie_extract(
@@ -290,6 +337,12 @@ def main() -> None:
         "query_reps": reps,
         "steal_pct": _steal_pct(cpu_before, _read_cpu_times()),
     }
+    if cold:
+        # dual-regime reporting: "queries" above is the warm/in-harness
+        # regime (shared intermediates materialized once), this is the
+        # every-cache-dropped regime — quote THESE for standalone-query
+        # perf claims
+        out["queries_cold"] = cold
     print(json.dumps(out))
 
 
