@@ -1853,19 +1853,22 @@ _ANN_BUCKETED_COS_SQL = f"""
                               CAST(ceil(log2(count(*) / {ANN_BUCKET_CAP}.0)) AS INT))
            END AS bits
     FROM embeddings),
-  planes AS (SELECT vec_id, d, v,
-                    unnest(range(0, {ANN_TABLES} * (SELECT bits FROM nbits))) AS p
-             FROM e),
+  planes AS (SELECT vec_id, d, v, unnest(range(0, {ANN_TABLES} * bits)) AS p
+             FROM e CROSS JOIN nbits),
   proj AS (
     SELECT vec_id, p,
            sum(v * ((ascii(substring(md5(p || ':' || d), 1, 1)) * 256
                      + ascii(substring(md5(p || ':' || d), 2, 1))) / 65536.0 - 0.5)) AS proj
     FROM planes GROUP BY vec_id, p),
   bucket AS (
-    SELECT vec_id, CAST(floor(p / (SELECT bits FROM nbits)) AS INT) AS t,
-           CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % (SELECT bits FROM nbits)) ELSE 0 END) AS BIGINT) AS bucket
-    FROM proj WHERE abs(proj) > 1e-6
-    GROUP BY vec_id, CAST(floor(p / (SELECT bits FROM nbits)) AS INT)),
+    -- bits rides in as a 1-row CROSS JOIN column, not a scalar subquery:
+    -- DuckDB re-evaluates a scalar subquery per expression site, which
+    -- made this CTE ~10x slower when the derived geometry landed
+    SELECT vec_id, CAST(floor(p / bits) AS INT) AS t,
+           CAST(sum(CASE WHEN proj > 0 THEN pow(2, p % bits) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj CROSS JOIN nbits
+    WHERE abs(proj) > 1e-6
+    GROUP BY vec_id, CAST(floor(p / bits) AS INT)),
   admitted AS (
     SELECT vec_id, t, bucket FROM (
       SELECT vec_id, t, bucket,
@@ -3139,11 +3142,11 @@ SQL_ANN_RECALL_REPORT = f"""
             FROM gsize WHERE n >= 2),
   nv AS (SELECT count(*) AS nvec FROM embeddings),
   adm AS (SELECT count(*) AS n_admitted FROM cosp),
-  gauge AS (SELECT CAST((SELECT bits FROM nbits) AS INT) AS ann_bits,
+  gauge AS (SELECT CAST(bits AS INT) AS ann_bits,
                    sampled_bucket_fraction,
                    round(CAST(n_admitted AS DOUBLE) / (nvec * (nvec - 1)), 6)
                    AS admission_rate
-            FROM gfrac, nv, adm)
+            FROM gfrac, nv, adm, nbits)
   SELECT xtop.qid, count(*) AS n_exact, count(atop.nid) AS n_hit,
          round(CAST(count(atop.nid) AS DOUBLE) / count(*), 6) AS recall,
          any_value(g.ann_bits) AS ann_bits,

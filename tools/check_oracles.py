@@ -9,6 +9,8 @@ import hashlib
 import os
 import sys
 
+import time
+
 import duckdb
 import pandas as pd
 
@@ -49,6 +51,7 @@ def main(sf_dir: str, only: list[str] | None = None):
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -78,7 +81,7 @@ def main(sf_dir: str, only: list[str] | None = None):
                 print(pd.concat([a[neq].head(3).add_suffix("_spark"),
                                  b[neq].head(3).add_suffix("_duck")], axis=1).to_string())
         else:
-            print(f"{name}: OK ({len(sdf)} rows)")
+            print(f"{name}: OK ({len(sdf)} rows, {time.perf_counter() - t0:.2f}s spark+duck)")
     print(f"\n{failures} failures")
     return failures
 
