@@ -117,6 +117,7 @@ def train_weights(
     l2: float = 1e-4,
     seed: int = 7,
     epoch_schedule: bool = False,
+    labels_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Full-batch logistic GD; returns (feature, weight) incl. per-slot
     calibrated thresholds as pseudo-features ``__THRESHOLD__[slot]``.
@@ -132,9 +133,13 @@ def train_weights(
     update, exactly the margin-violation emphasis of the reference's
     SampleRank-style updates. Default off: the unscheduled GD already
     passes the P/R gate; the schedule is the last behavioral residue of
-    the reference's training loop (round-3 verdict, missing #2)."""
+    the reference's training loop (round-3 verdict, missing #2).
+
+    ``labels_pdf``: the already-collected label table, when the caller's
+    size probe collected it anyway (pipeline.fit auto mode) — saves a
+    second pass over the pairs chain."""
     feat = features.toPandas()
-    lab = labels.toPandas()
+    lab = labels_pdf if labels_pdf is not None else labels.toPandas()
 
     pair_ids = lab.pair_id.to_numpy()
     pair_index = {p: i for i, p in enumerate(pair_ids)}

@@ -162,11 +162,19 @@ class OBIEPipeline:
                                  ds_context=self._ds_context(mentions, inst))
         labels = label_pairs(pairs, gold_triples)
         mode = self.trainer
+        labels_pdf = None
         if mode == "auto":
             # the labeled-pair count decides whether a driver collect is
-            # safe; the count itself runs on the (cached-pairs) plan
-            if labels.count() <= self.TRAIN_COLLECT_MAX_PAIRS:
+            # safe. Probe with a BOUNDED limit+collect instead of a
+            # count(): when the numpy path wins (the common fixture/bench
+            # case) the probe result IS the label table that
+            # train_weights would re-collect — one action over the pairs
+            # chain instead of two (round-5: obie_fit phase profile put
+            # the count at ~2s of an ~8s fit)
+            head = labels.limit(self.TRAIN_COLLECT_MAX_PAIRS + 1).toPandas()
+            if len(head) <= self.TRAIN_COLLECT_MAX_PAIRS:
                 mode = "numpy"
+                labels_pdf = head
             else:
                 # second escalation: when even the feature VOCABULARY is
                 # too big to collect (assemble_vectors' named path pulls
@@ -192,9 +200,10 @@ class OBIEPipeline:
 
             self.weights = train_weights_liblinear(feats, labels)
         elif mode == "numpy_scheduled":
-            self.weights = train_weights(feats, labels, epoch_schedule=True)
+            self.weights = train_weights(feats, labels, epoch_schedule=True,
+                                         labels_pdf=labels_pdf)
         else:
-            self.weights = train_weights(feats, labels)
+            self.weights = train_weights(feats, labels, labels_pdf=labels_pdf)
         self.thresholds = thresholds_from_weights(self.weights)
         for c in [mentions, pairs, *caches]:
             c.unpersist()
