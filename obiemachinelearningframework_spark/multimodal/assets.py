@@ -3,8 +3,9 @@
 A large-scale training-data pipeline carries image/audio/video alongside
 text. The Spark-side contract here is real and tested — schema, partition
 strategy, Arrow batch shapes, mapInPandas signatures — while the *codec*
-layer is a deterministic in-repo RAW format (this container has no
-PIL/ffmpeg/librosa; real codecs plug into the same seams, see
+layer offers deterministic in-repo RAW formats AND real pure-stdlib
+PNG/WAV/baseline-JPEG containers (this container has no
+PIL/ffmpeg/librosa; further codecs plug into the same seams, see
 ``decode.DECODERS``).
 
 Table schema (the shape an Iceberg `assets` table would have at 100 TB,

@@ -10,13 +10,15 @@ payloads are large).
 
 Codec seam: ``DECODERS[codec]`` maps codec string -> bytes -> np.ndarray.
 The in-repo RAW codecs are complete, and ``png`` (zlib inflate + all five
-scanline filters) and ``wav`` (RIFF chunk walk, PCM16) are REAL
-pure-stdlib decoders — oracle-verified end-to-end by
-queries.multimodal_png_stats / multimodal_wav_stats, which wrap the same
-md5-derived pixel/sample streams in genuine containers. ``jpeg``/``mp4``
-raise a clearly-marked NotImplementedError until PIL/ffmpeg are
-provisioned (this container has neither); the injection seam itself is
-contract-tested (test_codec_seam_accepts_third_party_decoder).
+scanline filters), ``wav`` (RIFF chunk walk, PCM16) and ``jpeg``
+(baseline T.81: Huffman entropy decode + dequant + IDCT) are REAL
+pure-stdlib/numpy decoders — oracle-verified end-to-end by
+queries.multimodal_png_stats / multimodal_wav_stats /
+multimodal_jpeg_stats, which wrap the same md5-derived pixel/sample
+streams in genuine containers. Only ``mp4`` raises a clearly-marked
+NotImplementedError until ffmpeg is provisioned (this container has
+none); the injection seam itself is contract-tested
+(test_codec_seam_accepts_third_party_decoder).
 """
 
 from __future__ import annotations
