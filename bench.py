@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_dedup_exact",
     "multimodal_resize_stats",
     "multimodal_jpeg_stats",
+    "multimodal_mp4_frames",
     "events_asof_join",
     "code_import_graph",
     "compaction_plan",

@@ -358,6 +358,77 @@ def encode_jpeg(asset_id: int, w: int = 16, h: int = 16) -> bytes:
     return jpeg_encode_gray(jpeg_block_pixels(asset_id, w, h))
 
 
+# ---------------------------------------------------------- MP4 (ISO BMFF)
+# Pure-stdlib ISO Base Media File Format writer (ISO/IEC 14496-12): a
+# genuine box tree — ftyp / mdat / moov(mvhd, trak(tkhd, mdia(mdhd,
+# hdlr:vide, minf(vmhd, dinf/dref, stbl(stsd['raw ' visual sample
+# entry], stts, stsc, stsz, stco))))) — whose single video track carries
+# UNCOMPRESSED 8-bit grayscale frames (the historical 'raw ' sample
+# entry). The container walk is real (the decoder locates samples via
+# stco/stsc/stsz exactly as for any mp4); only the bitstream codec is
+# raw — H.264/HEVC tracks raise NotImplementedError in the decoder
+# until ffmpeg exists (same honest split as WAV: real RIFF walk, PCM
+# payload).
+
+_MP4_MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4_full(tag: bytes, version_flags: int, body: bytes) -> bytes:
+    return _mp4_box(tag, struct.pack(">I", version_flags) + body)
+
+
+def encode_mp4(asset_id: int, w: int = 8, h: int = 8, n_frames: int = 12) -> bytes:
+    """REAL ISO-BMFF container around the SAME md5 frame stream as
+    encode_md5_video — so the real ``mp4`` codec path is verifiable
+    against the identical DuckDB oracle (queries.multimodal_mp4_frames).
+    Layout: ftyp, mdat (frames back-to-back), moov (written last so the
+    chunk offset into mdat is known)."""
+    data = md5_bytes("v", asset_id, w * h * n_frames)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = _mp4_box(b"mdat", data)
+    data_off = len(ftyp) + 8           # absolute offset of sample 1
+    timescale, delta = 1000, 100
+    dur = n_frames * delta
+
+    mvhd = _mp4_full(b"mvhd", 0, (
+        struct.pack(">IIII", 0, 0, timescale, dur)       # created/modified/ts/dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)      # rate, volume, reserved
+        + b"\x00" * 8 + _MP4_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2)))                          # next track id
+    tkhd = _mp4_full(b"tkhd", 7, (
+        struct.pack(">IIIII", 0, 0, 1, 0, dur)            # track id 1
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16)))          # 16.16 fixed dims
+    mdhd = _mp4_full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    vmhd = _mp4_full(b"vmhd", 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, struct.pack(">I", 1) + _mp4_full(b"url ", 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    entry = _mp4_box(b"raw ", (
+        b"\x00" * 6 + struct.pack(">H", 1)                # data-ref index
+        + b"\x00" * 16                                    # predefined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32                                    # compressor name
+        + struct.pack(">Hh", 8, -1)))                     # depth 8 (grayscale)
+    stsd = _mp4_full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stts = _mp4_full(b"stts", 0, struct.pack(">III", 1, n_frames, delta))
+    stsc = _mp4_full(b"stsc", 0, struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = _mp4_full(b"stsz", 0, struct.pack(">II", w * h, n_frames))  # uniform
+    stco = _mp4_full(b"stco", 0, struct.pack(">II", 1, data_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def encode_raw_image(asset_id: int, seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
     px = _rng(asset_id, seed).integers(0, 256, size=w * h * c, dtype=np.uint8)
     return RAW_IMAGE_MAGIC + struct.pack("<iii", w, h, c) + px.tobytes()
@@ -480,6 +551,16 @@ def png_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
         docs, encode_png, "image",
         {**_NO_META, "width": 16, "height": 12, "channels": 3,
          "codec": "png"})
+
+
+def mp4_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:
+    """Real-format twin of video_assets_from_documents: the SAME md5
+    frame stream in a genuine ISO-BMFF container -> the real ``mp4``
+    demuxer, same features, same oracle."""
+    return _derived_assets(
+        docs, encode_mp4, "video",
+        {**_NO_META, "width": 8, "height": 8, "channels": 1, "n_frames": 12,
+         "codec": "mp4"})
 
 
 def jpeg_assets_from_documents(docs: DataFrame, seed: int = 7) -> DataFrame:

@@ -9,15 +9,16 @@ partitions small on the decode stage, repartition wider before it if
 payloads are large).
 
 Codec seam: ``DECODERS[codec]`` maps codec string -> bytes -> np.ndarray.
-The in-repo RAW codecs are complete, and ``png`` (zlib inflate + all five
-scanline filters), ``wav`` (RIFF chunk walk, PCM16) and ``jpeg``
-(baseline T.81: Huffman entropy decode + dequant + IDCT) are REAL
-pure-stdlib/numpy decoders — oracle-verified end-to-end by
-queries.multimodal_png_stats / multimodal_wav_stats /
-multimodal_jpeg_stats, which wrap the same md5-derived pixel/sample
-streams in genuine containers. Only ``mp4`` raises a clearly-marked
-NotImplementedError until ffmpeg is provisioned (this container has
-none); the injection seam itself is contract-tested
+The in-repo RAW codecs are complete, and every real-format key is a REAL
+pure-stdlib/numpy implementation: ``png`` (zlib inflate + all five
+scanline filters), ``wav`` (RIFF chunk walk, PCM16), ``jpeg`` (baseline
+T.81: Huffman entropy decode + dequant + IDCT) and ``mp4`` (full
+ISO-BMFF box walk + stsd/stsz/stsc/stco sample extraction; uncompressed
+'raw ' track payload — compressed bitstreams like avc1 refuse loudly
+until ffmpeg is provisioned). Each is oracle-verified end-to-end by
+queries.multimodal_{png_stats,wav_stats,jpeg_stats,mp4_frames}, which
+wrap the same md5-derived pixel/sample streams in genuine containers;
+the injection seam itself is contract-tested
 (test_codec_seam_accepts_third_party_decoder).
 """
 
@@ -354,13 +355,124 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-def _unimplemented(codec):
-    def fail(_payload):
-        raise NotImplementedError(
-            f"codec '{codec}' needs an external library (PIL/ffmpeg) not present "
-            "in this environment; plug a decoder into multimodal.decode.DECODERS"
-        )
-    return fail
+def _mp4_children(buf: bytes, pos: int, end: int):
+    """Walk one ISO-BMFF box level, yielding (tag, body_start, body_end)
+    with strict size checks (a declared size past the parent's end means
+    truncation/corruption — fail loudly, ADVICE-r4 discipline)."""
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        tag = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                       # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated mp4: cut largesize header")
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:                     # box extends to parent end
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(
+                f"truncated mp4: box {tag!r} declares {size} bytes, "
+                f"{end - pos} remain")
+        yield tag, body, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("truncated mp4: trailing bytes are not a box")
+
+
+def _mp4_child(buf, pos, end, want: bytes):
+    for tag, b, e in _mp4_children(buf, pos, end):
+        if tag == want:
+            return b, e
+    raise ValueError(f"corrupt mp4: missing {want!r} box")
+
+
+def _decode_mp4(payload: bytes) -> np.ndarray:
+    """REAL ISO-BMFF (mp4) demuxer, pure stdlib: full box walk to the
+    video track's sample tables (stsd/stsz/stsc/stco, co64-aware),
+    sample extraction from mdat via chunk offsets — the genuine
+    container path every mp4 reader runs. Bitstream support is the
+    uncompressed ``raw `` 8-bit-grayscale sample entry (the honest split:
+    the CONTAINER walk is complete; compressed codecs — avc1/hvc1/… —
+    raise NotImplementedError until ffmpeg is provisioned). Returns
+    (n_frames, h, w) uint8, the raw-vid contract."""
+    n = len(payload)
+    moov = None
+    for tag, b, e in _mp4_children(payload, 0, n):
+        if tag == b"moov":
+            moov = (b, e)
+    if moov is None:
+        raise ValueError("corrupt mp4: missing moov box")
+
+    frames = None
+    for tag, tb, te in _mp4_children(payload, *moov):
+        if tag != b"trak":
+            continue
+        mb, me = _mp4_child(payload, tb, te, b"mdia")
+        hb, he = _mp4_child(payload, mb, me, b"hdlr")
+        if payload[hb + 8:hb + 12] != b"vide":
+            continue
+        nb, ne = _mp4_child(payload, mb, me, b"minf")
+        sb, se = _mp4_child(payload, nb, ne, b"stbl")
+
+        # sample description: fourcc + dims + depth
+        db, de = _mp4_child(payload, sb, se, b"stsd")
+        fourcc = payload[db + 12:db + 16]
+        if fourcc != b"raw ":
+            raise NotImplementedError(
+                f"mp4 sample codec {fourcc!r} needs ffmpeg; only the "
+                "uncompressed 'raw ' entry decodes in this environment")
+        ent = db + 16          # inside the sample entry, after size+tag
+        w, h = struct.unpack(">HH", payload[ent + 24:ent + 28])
+        depth = struct.unpack(">H", payload[ent + 74:ent + 76])[0]
+        if depth != 8:
+            raise NotImplementedError(f"raw mp4 depth {depth} (only 8-bit gray)")
+
+        # sample sizes (uniform or per-sample table)
+        zb, ze = _mp4_child(payload, sb, se, b"stsz")
+        uniform, count = struct.unpack(">II", payload[zb + 4:zb + 12])
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            sizes = list(struct.unpack(f">{count}I", payload[zb + 12:zb + 12 + 4 * count]))
+
+        # chunk offsets (stco 32-bit or co64)
+        try:
+            cb, ce = _mp4_child(payload, sb, se, b"stco")
+            n_chunk = struct.unpack(">I", payload[cb + 4:cb + 8])[0]
+            offs = struct.unpack(f">{n_chunk}I", payload[cb + 8:cb + 8 + 4 * n_chunk])
+        except ValueError:
+            cb, ce = _mp4_child(payload, sb, se, b"co64")
+            n_chunk = struct.unpack(">I", payload[cb + 4:cb + 8])[0]
+            offs = struct.unpack(f">{n_chunk}Q", payload[cb + 8:cb + 8 + 8 * n_chunk])
+
+        # chunk -> samples-per-chunk map (stsc runs)
+        kb, ke = _mp4_child(payload, sb, se, b"stsc")
+        n_run = struct.unpack(">I", payload[kb + 4:kb + 8])[0]
+        runs = [struct.unpack(">III", payload[kb + 8 + 12 * i:kb + 20 + 12 * i])
+                for i in range(n_run)]
+
+        data, si = bytearray(), 0
+        for ci, off in enumerate(offs):
+            per = next(r[1] for r in reversed(runs) if r[0] <= ci + 1)
+            pos = off
+            for _ in range(per):
+                if si >= count:
+                    break
+                if pos + sizes[si] > n:
+                    raise ValueError("truncated mp4: sample past end of file")
+                data += payload[pos:pos + sizes[si]]
+                pos += sizes[si]
+                si += 1
+        if si != count:
+            raise ValueError(
+                f"corrupt mp4: sample tables cover {si} of {count} samples")
+        if len(data) != count * w * h:
+            raise ValueError("corrupt mp4: sample bytes != frames * w * h")
+        frames = np.frombuffer(bytes(data), dtype=np.uint8).reshape(count, h, w)
+    if frames is None:
+        raise ValueError("corrupt mp4: no video track")
+    return frames
 
 
 DECODERS = {
@@ -370,7 +482,7 @@ DECODERS = {
     "png": _decode_png,      # real codec, pure stdlib (zlib + unfilter)
     "wav": _decode_wav,      # real codec, pure stdlib (RIFF chunk walk)
     "jpeg": _decode_jpeg,    # real codec, pure stdlib+numpy baseline T.81
-    "mp4": _unimplemented("mp4"),
+    "mp4": _decode_mp4,      # real ISO-BMFF demux; raw-gray track payload
 }
 
 

@@ -878,8 +878,34 @@ QUERIES["multimodal_png_stats"] = q_multimodal_png_stats
 ORACLES["multimodal_png_stats"] = SQL_MULTIMODAL_IMAGE_STATS
 QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
 ORACLES["multimodal_wav_stats"] = SQL_MULTIMODAL_AUDIO_STATS
+def q_multimodal_mp4_frames(spark, sf_dir):
+    """Frame-sampling rollup through the REAL ISO-BMFF demuxer
+    (multimodal/decode._decode_mp4: full box walk, stsd/stsz/stsc/stco
+    sample extraction from mdat). The container carries the identical
+    md5 frame stream as the RAW video assets, so the oracle is
+    SQL_MULTIMODAL_VIDEO_FRAMES by construction — the same
+    real-container trick as wav/png, completing the seam: every codec
+    key in DECODERS now has a genuine decoder behind it except the
+    compressed mp4 bitstreams (avc1/hvc1), which refuse loudly."""
+    from .multimodal import frame_features, frame_sample, mp4_assets_from_documents
+
+    assets = mp4_assets_from_documents(_docs(spark, sf_dir), seed=7)
+    feats = frame_features(frame_sample(assets, every_k=4))
+    return (
+        feats.groupBy(
+            (F.col("asset_id") % 16).alias("band"), F.col("frame_idx")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+        )
+    )
+
+
 QUERIES["multimodal_jpeg_stats"] = q_multimodal_jpeg_stats
 ORACLES["multimodal_jpeg_stats"] = SQL_MULTIMODAL_JPEG_STATS
+QUERIES["multimodal_mp4_frames"] = q_multimodal_mp4_frames
+ORACLES["multimodal_mp4_frames"] = SQL_MULTIMODAL_VIDEO_FRAMES
 
 
 def q_multimodal_dedup_exact(spark, sf_dir):

@@ -143,3 +143,51 @@ def test_jpeg_truncation_and_unsupported_fail_loudly():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="non-baseline"):
         _decode_jpeg(bytes(prog))
+
+
+# ------------------------------------------------------------------ MP4
+
+from obiemachinelearningframework_spark.multimodal.assets import encode_mp4  # noqa: E402
+from obiemachinelearningframework_spark.multimodal.decode import (  # noqa: E402
+    _decode_mp4,
+    _decode_raw_video,
+)
+from obiemachinelearningframework_spark.multimodal.assets import (  # noqa: E402
+    encode_md5_video,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    asset_id=st.integers(min_value=0, max_value=10_000),
+    w=st.sampled_from([8, 16]),
+    h=st.sampled_from([8, 16]),
+    n=st.integers(min_value=1, max_value=24),
+)
+def test_mp4_demux_matches_raw_video(asset_id, w, h, n):
+    """The ISO-BMFF walk must hand back exactly the frame stream the RAW
+    container carries — container parsing adds nothing, loses nothing."""
+    frames = _decode_mp4(encode_mp4(asset_id, w=w, h=h, n_frames=n))
+    assert frames.shape == (n, h, w)
+    ref = _decode_raw_video(encode_md5_video(asset_id, w=w, h=h, n_frames=n))
+    assert np.array_equal(frames, ref)
+
+
+def test_mp4_truncation_and_foreign_codec_fail_loudly():
+    import pytest
+
+    p = encode_mp4(5)
+    for cut in (3, 40, 300):
+        with pytest.raises(ValueError, match="truncated mp4|corrupt mp4"):
+            _decode_mp4(p[:-cut])
+    # an avc1 sample entry must refuse, not mis-decode: find the stsd
+    # fourcc via the box tree (not a blind byte search)
+    import struct as _s
+    pos = 0
+    while p[pos + 4:pos + 8] != b"moov":
+        pos += _s.unpack(">I", p[pos:pos + 4])[0]
+    i = p.index(b"stsd", pos) + 12      # fourcc of entry 1
+    bad = bytearray(p)
+    bad[i + 4:i + 8] = b"avc1"
+    with pytest.raises(NotImplementedError, match="needs ffmpeg"):
+        _decode_mp4(bytes(bad))

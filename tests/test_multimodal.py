@@ -166,6 +166,7 @@ def test_codec_seam_accepts_third_party_decoder(spark):
         v = np.frombuffer(payload[2:], dtype=np.uint8).reshape(h, w)
         return np.stack([v, v, v], axis=2)
 
+    original = DECODERS["jpeg"]          # the REAL baseline decoder
     DECODERS["jpeg"] = fake_jpeg
     try:
         w, h = 8, 6
@@ -190,11 +191,7 @@ def test_codec_seam_accepts_third_party_decoder(spark):
         assert (dec.width, dec.height, dec.channels) == (w, h, 3)
         assert len(bytes(dec.pixels)) == w * h * 3
     finally:
-        from obiemachinelearningframework_spark.multimodal.decode import (
-            _unimplemented,
-        )
-
-        DECODERS["jpeg"] = _unimplemented("jpeg")
+        DECODERS["jpeg"] = original
 
 
 def test_real_wav_decoder_matches_raw():
