@@ -188,9 +188,15 @@ JPEG_AC_VALS = (
 )
 
 
-def jpeg_zigzag() -> list:
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def jpeg_zigzag() -> tuple:
     """The 64 (row, col) positions in JPEG zigzag order, generated by the
-    canonical diagonal walk (no hand-typed table to mistype)."""
+    canonical diagonal walk (no hand-typed table to mistype). Cached —
+    the encoder/decoder run once per ASSET, so per-call table rebuilds
+    multiplied across a corpus."""
     order, x, y = [], 0, 0
     for _ in range(64):
         order.append((y, x))
@@ -210,9 +216,10 @@ def jpeg_zigzag() -> list:
             else:
                 x -= 1
                 y += 1
-    return order
+    return tuple(order)
 
 
+@functools.lru_cache(maxsize=1)
 def _dct_basis() -> "np.ndarray":
     """Orthonormal 8x8 DCT-II matrix A (A @ A.T = I): FDCT of a block s
     is A @ s @ A.T, IDCT is A.T @ S @ A — exactly the T.81 definition."""
@@ -226,7 +233,8 @@ def _dct_basis() -> "np.ndarray":
 
 def _huff_codes(bits: list, vals: list) -> dict:
     """symbol -> (code, length) per the T.81 canonical code construction
-    (codes of each length assigned in huffval order, left-to-right)."""
+    (codes of each length assigned in huffval order, left-to-right).
+    Callers cache the result (see _std_codes)."""
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length]):
@@ -272,6 +280,12 @@ def _magnitude(v: int) -> tuple:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+@functools.lru_cache(maxsize=1)
+def _std_codes() -> tuple:
+    return (_huff_codes(JPEG_DC_BITS, JPEG_DC_VALS),
+            _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS))
+
+
 def jpeg_encode_gray(pixels: "np.ndarray") -> bytes:
     """(h, w) uint8 -> baseline JFIF bytes. Quant table all-ones (the
     only loss is FDCT integer rounding, so flat 8x8 blocks round-trip
@@ -280,8 +294,7 @@ def jpeg_encode_gray(pixels: "np.ndarray") -> bytes:
     assert h % 8 == 0 and w % 8 == 0, "pad to 8x8 blocks before encoding"
     A = _dct_basis()
     zz = jpeg_zigzag()
-    dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
-    ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_codes, ac_codes = _std_codes()
     bw = _BitWriter()
     prev_dc = 0
     for by in range(h // 8):
@@ -488,7 +501,13 @@ def _derived_assets(docs: DataFrame, encode_fn, kind: str, meta: dict) -> DataFr
     in encoder/kind/meta). Payloads are a deterministic function of
     doc_id, so any sf_dir yields the same assets on every engine/run —
     what makes the decoded statistics DuckDB-verifiable."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+    # explicit width for the Python-compute stages downstream: the
+    # encode/decode/feature chain is CPU-bound in Python workers, so its
+    # parallelism must not be an accident of the source file count (a
+    # single-file corpus serialized the whole multimodal family onto one
+    # core — round-5 plan audit). The exchange moves id-only rows: free.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ids = docs.select(F.col("doc_id").cast("long").alias("id")).repartition(par)
 
     def gen(batches):
         for pdf in batches:
