@@ -168,14 +168,7 @@ COLD_FAMILY = [
 
 
 def _clear_session_caches(Q) -> None:
-    """Same cache-drop as tools/scaling_pipeline.py's between-pass clear."""
-    for df in list(Q._SHARED.values()):
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    Q._SHARED.clear()
-    Q._EMB_COUNTS.clear()
+    Q.clear_session_caches()
 
 
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))

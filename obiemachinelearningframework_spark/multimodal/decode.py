@@ -196,6 +196,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (code-review r5: a legal encoder's
+        # padding used to parse as a bogus 0xFF marker + garbage length)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:               # EOI before SOS -> no image
             break
@@ -214,20 +219,20 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 qtables[tq] = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
                 b = b[65:]
         elif marker == 0xC4:             # DHT
+            from .assets import _huff_codes
+
             b = body
             while b:
                 tc, th = b[0] >> 4, b[0] & 0x0F
                 bits = list(b[1:17])
                 n = sum(bits)
                 vals = list(b[17:17 + n])
-                table, code, k = {}, 0, 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(code, length)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                # same canonical construction as the encoder, inverted
+                # to (code, length) -> symbol (one implementation of the
+                # trickiest codec loop — code-review r5)
+                huff[(tc, th)] = {
+                    cl: sym for sym, cl in _huff_codes([0] + bits, vals).items()
+                }
                 b = b[17 + n:]
         elif marker == 0xC0:             # SOF0 baseline
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
@@ -454,7 +459,12 @@ def _decode_mp4(payload: bytes) -> np.ndarray:
 
         data, si = bytearray(), 0
         for ci, off in enumerate(offs):
-            per = next(r[1] for r in reversed(runs) if r[0] <= ci + 1)
+            try:
+                per = next(r[1] for r in reversed(runs) if r[0] <= ci + 1)
+            except StopIteration:
+                raise ValueError(
+                    f"corrupt mp4: stsc has no run covering chunk {ci + 1}"
+                ) from None
             pos = off
             for _ in range(per):
                 if si >= count:

@@ -50,6 +50,7 @@ class MLBaselineScorer:
 
     def fit(self, features: DataFrame, labels: DataFrame) -> "MLBaselineScorer":
         data, vocab = assemble_vectors(features, labels)
+        scratch = getattr(data, "_obie_scratch_path", None)
         self.vocab = vocab
         if self.kind == "rf":
             from pyspark.ml.classification import RandomForestClassifier
@@ -69,6 +70,13 @@ class MLBaselineScorer:
         data = data.cache()
         self.model = est.fit(data)
         data.unpersist()
+        # same scratch hygiene as train_weights_distributed: the libsvm
+        # text materialization (sparse path only) is dead once the
+        # estimator is fitted (code-review r5)
+        if scratch:
+            from .trainer import _rm_scratch
+
+            _rm_scratch(scratch)
         return self
 
     def score(self, features: DataFrame) -> DataFrame:

@@ -328,10 +328,17 @@ def _libsvm_roundtrip(lines: DataFrame, m: int, scratch_dir: str | None) -> Data
     ``._obie_scratch_path`` so the consuming fit can delete it as soon
     as the estimator is done (ADVICE r4: per-fit vecs_* dirs accumulated
     for the process lifetime)."""
+    import atexit
     import uuid
 
     base = _resolve_scratch(lines.sparkSession, scratch_dir)
     path = base.rstrip("/") + f"/vecs_{uuid.uuid4().hex[:12]}"
+    # transform-path consumers read lazily, so their dirs cannot be
+    # deleted eagerly — register process-exit removal so a long session
+    # on a cluster scratch (checkpoint dir) does not accumulate
+    # training-set-sized text dirs indefinitely (code-review r5; no-op
+    # for dirs a fit already deleted, skip for non-local URIs)
+    atexit.register(_rm_scratch, path)
     lines.write.mode("overwrite").text(path)
     out = (
         lines.sparkSession.read.format("libsvm")

@@ -94,6 +94,20 @@ def invalidate(sf_dir: str) -> None:
         _EMB_COUNTS.pop(k, None)
 
 
+def clear_session_caches() -> None:
+    """Unpersist + drop EVERY session-scoped intermediate (all sf_dirs).
+    The single implementation behind bench.py's cold pass and
+    tools/scaling_pipeline.py's between-pass clear (code-review r5: three
+    hand-rolled copies of this loop had to track the cache-key shape)."""
+    for df in list(_SHARED.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHARED.clear()
+    _EMB_COUNTS.clear()
+
+
 def _shared_cache(spark: SparkSession, sf_dir: str, key: str, builder):
     app = spark.sparkContext.applicationId
     # evict entries from stopped sessions (their DataFrames are dead
@@ -1675,8 +1689,14 @@ _EMB_COUNTS: dict = {}
 
 
 def _emb_count(spark, sf_dir) -> int:
-    k = (spark.sparkContext.applicationId, sf_dir)
+    # fingerprint in the key for the same reason as _shared_cache: an
+    # in-session corpus rewrite must not serve a stale count to
+    # _ann_bits_for — the geometry would diverge from the oracle's
+    # count(*)-derived bits (code-review r5)
+    k = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     if k not in _EMB_COUNTS:
+        for stale in [s for s in _EMB_COUNTS if s[:2] == k[:2]]:
+            _EMB_COUNTS.pop(stale, None)
         _EMB_COUNTS[k] = _emb(spark, sf_dir).count()
     return _EMB_COUNTS[k]
 

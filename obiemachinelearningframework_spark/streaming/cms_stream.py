@@ -91,9 +91,11 @@ def _read_commit(state_dir: str) -> tuple[str | None, int, str | None]:
     return side, epoch, run
 
 
-def guard_replay(state_dir: str, epoch_id: int, run_id: str) -> bool:
+def guard_replay(state_dir: str, epoch_id: int, run_id: str) -> tuple:
     """Shared admission decision for NON-IDEMPOTENT streaming state
-    (counter addition): True = apply the batch, False = replay no-op.
+    (counter addition): returns ``(apply, current_side)`` — apply=False
+    means replay no-op; current_side is the committed A/B side already
+    read from the pointer (so callers need not re-read it).
 
     * run id recorded and different from the current checkpoint's ->
       loud error (a recreated/repointed checkpoint restarts epochs at 0;
@@ -127,14 +129,14 @@ def guard_replay(state_dir: str, epoch_id: int, run_id: str) -> bool:
                 "original checkpoint, its next NEW epoch migrates the "
                 "pointer automatically; otherwise start a fresh state dir."
             )
-        return False
+        return False, cur
     if run is None and cur is not None:
         warnings.warn(
             f"state dir {state_dir!r}: migrating legacy commit pointer "
             f"(epoch {applied}) to run {run_id} on this commit",
             stacklevel=2,
         )
-    return True
+    return True, cur
 
 
 def assert_sink_run_identity(out_dir: str, run_id: str) -> None:
@@ -222,9 +224,9 @@ def _merge_batch(
     # the SAME streaming checkpoint (run_id); a fresh checkpoint restarts
     # epochs at 0 and must not be mistaken for a replay (guard_replay,
     # incl. the legacy-pointer refusal).
-    if not guard_replay(state_dir, epoch_id, run_id):
+    apply, cur = guard_replay(state_dir, epoch_id, run_id)
+    if not apply:
         return
-    cur, _, _ = _read_commit(state_dir)
     merged = (
         read_sketch(spark, state_dir)
         .unionByName(batch_sketch(docs))

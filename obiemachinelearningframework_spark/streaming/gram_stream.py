@@ -117,9 +117,9 @@ def _merge_batch(
     # guard only holds within one streaming checkpoint — a repointed
     # checkpoint restarts epochs at 0, so a run-identity mismatch is a
     # loud error, not a silent skip.
-    if not guard_replay(state_dir, epoch_id, run_id):
+    apply, cur = guard_replay(state_dir, epoch_id, run_id)
+    if not apply:
         return
-    cur, _, _ = _read_commit(state_dir)
     merged = (
         read_state(spark, state_dir)
         .unionByName(batch_state(vecs))

@@ -191,3 +191,13 @@ def test_mp4_truncation_and_foreign_codec_fail_loudly():
     bad[i + 4:i + 8] = b"avc1"
     with pytest.raises(NotImplementedError, match="needs ffmpeg"):
         _decode_mp4(bytes(bad))
+
+
+def test_jpeg_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — a legal
+    encoder's padding must not parse as a bogus segment (code-review r5)."""
+    p = encode_jpeg(9)
+    i = p.index(b"\xff\xc4")                      # first DHT
+    padded = p[:i] + b"\xff\xff\xff" + p[i:]
+    dec = _decode_jpeg(padded)
+    assert np.array_equal(dec[..., 0], jpeg_block_pixels(9))

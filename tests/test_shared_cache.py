@@ -33,3 +33,18 @@ def test_invalidate_clears_by_sf_dir(spark, tmp_path):
     assert any(k[0] == app and k[1] == sf_dir for k in Q._SHARED)
     Q.invalidate(sf_dir)
     assert not any(k[1] == sf_dir for k in Q._SHARED)
+
+
+def test_emb_count_tracks_corpus_rewrite(spark, tmp_path):
+    """code-review r5: _ann_bits_for must see the CURRENT corpus size —
+    a stale cached count would diverge the index geometry from the
+    oracle's count(*)-derived bits."""
+    sf_dir = str(tmp_path / "corpus3")
+    emb = [(i, [0.1, 0.2]) for i in range(5)]
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    assert Q._emb_count(spark, sf_dir) == 5
+    emb = [(i, [0.1, 0.2]) for i in range(9)]
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    assert Q._emb_count(spark, sf_dir) == 9, "stale embedding count served"

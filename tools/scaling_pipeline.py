@@ -155,13 +155,7 @@ def worker(cpus: int) -> None:
         # HERE each timed run must measure the OPERATOR, not a cache scan
         # (code-review r4: the warm-up otherwise materializes _tokens and
         # the timed pass certifies cached-scan scaling)
-        for df in list(Q._SHARED.values()):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        Q._SHARED.clear()
-        Q._EMB_COUNTS.clear()
+        Q.clear_session_caches()
         spark.catalog.clearCache()
 
     for name in QUERIES:
