@@ -167,10 +167,6 @@ COLD_FAMILY = [
 ]
 
 
-def _clear_session_caches(Q) -> None:
-    Q.clear_session_caches()
-
-
 OBIE_BENCH_DOCS = int(os.environ.get("OBIE_BENCH_DOCS", "300"))
 OBIE_TRAIN_DOCS = int(os.environ.get("OBIE_TRAIN_DOCS", "60"))
 
@@ -298,7 +294,7 @@ def main() -> None:
             fn = Q.QUERIES[name]
             best = None
             for _ in range(reps):
-                _clear_session_caches(Q)
+                Q.clear_session_caches()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0

@@ -231,18 +231,25 @@ def _dct_basis() -> "np.ndarray":
     return A
 
 
-def _huff_codes(bits: list, vals: list) -> dict:
-    """symbol -> (code, length) per the T.81 canonical code construction
-    (codes of each length assigned in huffval order, left-to-right).
-    Callers cache the result (see _std_codes)."""
-    codes, code, k = {}, 0, 0
+def _huff_walk(bits: list, vals: list):
+    """(symbol, code, length) triples in canonical T.81 order (codes of
+    each length assigned in huffval order, left-to-right) — the ONE
+    implementation behind both the encoder's symbol->code table and the
+    decoder's code->symbol table (the decoder direction must keep EVERY
+    code even if a pathological DHT repeats a symbol, so it cannot be an
+    inversion of the symbol-keyed dict — code-review r5)."""
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length]):
-            codes[vals[k]] = (code, length)
+            yield vals[k], code, length
             code += 1
             k += 1
         code <<= 1
-    return codes
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length); callers cache the result (_std_codes)."""
+    return {sym: (code, ln) for sym, code, ln in _huff_walk(bits, vals)}
 
 
 class _BitWriter:

@@ -202,6 +202,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
         marker = payload[pos + 1]
+        if marker != 0xD9 and pos + 4 > len(payload):
+            # fill-byte skip may leave fewer than 4 bytes: keep the
+            # corrupt-input contract a ValueError, not a struct.error
+            raise ValueError("truncated JPEG: cut marker header")
         if marker == 0xD9:               # EOI before SOS -> no image
             break
         size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
@@ -219,7 +223,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 qtables[tq] = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
                 b = b[65:]
         elif marker == 0xC4:             # DHT
-            from .assets import _huff_codes
+            from .assets import _huff_walk
 
             b = body
             while b:
@@ -227,11 +231,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(b[1:17])
                 n = sum(bits)
                 vals = list(b[17:17 + n])
-                # same canonical construction as the encoder, inverted
-                # to (code, length) -> symbol (one implementation of the
-                # trickiest codec loop — code-review r5)
+                # same canonical walk as the encoder, keyed the decode
+                # direction ((code, length) -> symbol keeps every code
+                # even for a DHT that repeats a symbol)
                 huff[(tc, th)] = {
-                    cl: sym for sym, cl in _huff_codes([0] + bits, vals).items()
+                    (code, ln): sym
+                    for sym, code, ln in _huff_walk([0] + bits, vals)
                 }
                 b = b[17 + n:]
         elif marker == 0xC0:             # SOF0 baseline
